@@ -1,0 +1,14 @@
+"""Test harness config: run all tests on CPU with 8 virtual devices.
+
+Multi-chip sharding (shard_map over a Mesh) is validated without a TPU pod via JAX's
+host-platform device-count override; the real-TPU path is exercised by bench.py and the
+driver's dryrun_multichip.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+_flag = "--xla_force_host_platform_device_count=8"
+_existing = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _existing:
+    os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
