@@ -1,0 +1,121 @@
+"""Scene representation: merged distance-field + block-ID volume for DDA traversal.
+
+TPU-native replacement for the reference's triangle GAS/IAS RTX acceleration
+structures (reference behavior: /root/reference/src/rendering/optixRenderer.cpp:223-426
+``buildChunkAccel``/``buildRootAccel``): instead of meshing chunks and building BVHs,
+loaded chunks are assembled into a single device-resident i32 volume where each voxel
+holds either its block id (solid) or the negated Chebyshev distance to the nearest
+solid voxel (empty).  "Accel build" becomes an array update + distance-transform
+sweep, and traversal needs exactly ONE gather per step with up to ``DIST_CAP``-block
+empty-space skips — the design point that matters on TPU, where per-lane gathers are
+latency-bound (~30 ns/element) and must be minimized (SURVEY.md §7 hard part #3).
+
+The distance transform is exact bounded L∞ via doubling rounds: a round with offset
+``s`` takes the separable 6-direction shifted min *without* cost, then adds ``s`` once
+— so diagonal moves cost ``s``, yielding the Chebyshev metric in O(log cap) passes of
+pure VPU math.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..world.blocks import SOLID
+
+Y_SIZE = 384
+DIST_CAP = 63
+
+U8 = jnp.uint8
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+class Scene(NamedTuple):
+    #: [Z, X, Y] i32 — block id if solid, −(L∞ distance to nearest solid) if empty
+    field: jnp.ndarray
+    origin: jnp.ndarray  # [3] i32 world (x, y, z) of voxel (z=0, x=0, y=0)
+
+
+def _shift_min(d, s: int, axis: int, fill):
+    pad = [(0, 0)] * d.ndim
+    pad[axis] = (s, s)
+    p = jnp.pad(d, pad, constant_values=fill)
+    n = d.shape[axis]
+    lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+    hi = jax.lax.slice_in_dim(p, 2 * s, 2 * s + n, axis=axis)
+    return jnp.minimum(d, jnp.minimum(lo, hi))
+
+
+def chebyshev_distance(solid, cap: int = DIST_CAP):
+    """Exact bounded L∞ distance-to-solid via doubling rounds ([Z, X, Y] bool -> i32)."""
+    d = jnp.where(solid, I32(0), I32(cap)).astype(I32)
+    s = 1
+    while s < cap:
+        e = d
+        for axis in range(3):
+            e = _shift_min(e, s, axis, cap)
+        d = jnp.minimum(d, e + I32(s))
+        s *= 2
+    return jnp.minimum(d, I32(cap))
+
+
+@jax.jit
+def blocks_to_field(vol_u8):
+    """[Z, X, Y] u8 block ids -> merged signed distance/block i32 field."""
+    vol = vol_u8.astype(I32)
+    solid = jnp.asarray(SOLID)[vol]
+    dist = chebyshev_distance(solid)
+    return jnp.where(solid, vol, -jnp.maximum(dist, I32(1)))
+
+
+def build_scene(chunk_blocks, origin_chunk_x: int, origin_chunk_z: int) -> Scene:
+    """Assemble a Scene from a dense chunk grid.
+
+    Args:
+      chunk_blocks: [CZ, CX, 16, 16, 384] uint8 ([cz, cx, z, x, y]).
+      origin_chunk_x / origin_chunk_z: chunk coords of grid corner (0, 0).
+    """
+    cb = jnp.asarray(chunk_blocks)
+    cz, cx = cb.shape[0], cb.shape[1]
+    vol = jnp.transpose(cb, (0, 2, 1, 3, 4)).reshape(cz * 16, cx * 16, Y_SIZE)
+    origin = jnp.asarray(
+        np.array([origin_chunk_x * 16, 0, origin_chunk_z * 16], np.int32)
+    )
+    return Scene(field=blocks_to_field(vol), origin=origin)
+
+
+def update_chunks(scene: Scene, vol_u8_region, z0: int, x0: int) -> Scene:
+    """Write a block region ([dz, dx, 384] u8, volume-local offsets) into the scene
+    and resweep the distance transform over the affected neighborhood — the TPU
+    analogue of buildChunkAccel: a pure array update, no BVH.
+
+    The resweep region extends DIST_CAP blocks beyond the updated region so distances
+    that shrank propagate; distances that should *grow* (block removal) are healed by
+    recomputing from solidity inside the window, whose border seeds from the old field.
+    """
+    dz, dx = vol_u8_region.shape[0], vol_u8_region.shape[1]
+    # splice updated blocks into a u8 view of the field region is not kept; rebuild
+    # the field window from solidity + old-field border seeds
+    pad = DIST_CAP
+    zlo = max(z0 - pad, 0)
+    xlo = max(x0 - pad, 0)
+    zhi = min(z0 + dz + pad, scene.field.shape[0])
+    xhi = min(x0 + dx + pad, scene.field.shape[1])
+
+    window = jax.lax.dynamic_slice(
+        scene.field, (zlo, xlo, 0), (zhi - zlo, xhi - xlo, Y_SIZE)
+    )
+    # overlay new solid blocks
+    new_vals = vol_u8_region.astype(I32)
+    new_solid = jnp.asarray(SOLID)[new_vals]
+    sub = jnp.where(new_solid, new_vals, I32(-1))
+    window = jax.lax.dynamic_update_slice(window, sub, (z0 - zlo, x0 - xlo, 0))
+    solid = window > 0
+    dist = chebyshev_distance(solid)
+    window = jnp.where(solid, window, -jnp.maximum(dist, I32(1)))
+    field = jax.lax.dynamic_update_slice(scene.field, window, (zlo, xlo, 0))
+    return Scene(field=field, origin=scene.origin)

@@ -1,0 +1,175 @@
+"""Render materials: per-block albedo colors, material-class constants, emission.
+
+TPU-native equivalent of the reference material system (reference behavior: material
+class constants /root/reference/src/shaders/basic_shaders.cu:50-55 — water IOR 1.33
+wavy reflect/refract, crystal IOR 2.3, GGX roughness 0.4/0.6/0.9; per-block appearance
+from 16×16 texture atlases, /root/reference/src/rendering/optixRenderer.cpp:155-161).
+
+The TPU build replaces texture-atlas sampling with a per-block albedo palette (curated
+for the common blocks, name-hashed fallback elsewhere) plus a cheap per-voxel
+brightness jitter in the tracer; atlas textures can be dropped in later by swapping
+``block_albedo`` for a texture fetch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..world.blocks import EMISSION, MATERIAL, NUM_BLOCKS, Block, Mat
+
+# Mat-class constant table (basic_shaders.cu:50-55):
+# columns: ior, roughness, reflecting, refracting, wavy
+MAT_IOR = np.array([0.0, 1.33, 2.3, 0.0, 0.0, 0.0], np.float32)
+MAT_ROUGHNESS = np.array([0.0, 0.0, 0.0, 0.4, 0.6, 0.9], np.float32)
+MAT_SPECULAR = np.array([False, True, True, False, False, False])
+MAT_WAVY = np.array([False, True, False, False, False, False])
+
+_B = Block
+
+_PALETTE = {
+    _B.WATER: (0.22, 0.41, 0.73),
+    _B.LAVA: (1.00, 0.45, 0.10),
+    _B.BEDROCK: (0.25, 0.25, 0.27),
+    _B.STONE: (0.50, 0.50, 0.50),
+    _B.DIRT: (0.52, 0.38, 0.26),
+    _B.GRASS_BLOCK: (0.37, 0.60, 0.28),
+    _B.SAND: (0.86, 0.81, 0.63),
+    _B.GRAVEL: (0.52, 0.50, 0.49),
+    _B.MYCELIUM: (0.48, 0.40, 0.47),
+    _B.SNOW: (0.95, 0.96, 0.98),
+    _B.SNOWY_GRASS_BLOCK: (0.85, 0.88, 0.90),
+    _B.MUSHROOM_STEM: (0.80, 0.77, 0.72),
+    _B.MUSHROOM_UNDERSIDE: (0.83, 0.78, 0.66),
+    _B.PURPLE_MUSHROOM_CAP: (0.48, 0.22, 0.60),
+    _B.MARBLE: (0.90, 0.89, 0.86),
+    _B.ANDESITE: (0.55, 0.56, 0.55),
+    _B.CALCITE: (0.88, 0.88, 0.84),
+    _B.BLACKSTONE: (0.16, 0.14, 0.16),
+    _B.TUFF: (0.42, 0.43, 0.39),
+    _B.DEEPSLATE: (0.30, 0.30, 0.32),
+    _B.GRANITE: (0.60, 0.42, 0.35),
+    _B.SLATE: (0.35, 0.37, 0.41),
+    _B.SANDSTONE: (0.85, 0.78, 0.60),
+    _B.SMOOTH_SANDSTONE: (0.88, 0.81, 0.62),
+    _B.CLAY: (0.62, 0.64, 0.69),
+    _B.RED_SAND: (0.75, 0.40, 0.16),
+    _B.RED_SANDSTONE: (0.72, 0.38, 0.15),
+    _B.MUD: (0.35, 0.28, 0.23),
+    _B.JUNGLE_GRASS_BLOCK: (0.30, 0.54, 0.17),
+    _B.SAVANNA_GRASS_BLOCK: (0.58, 0.56, 0.25),
+    _B.JUNGLE_WOOD: (0.40, 0.29, 0.17),
+    _B.JUNGLE_LEAVES_PLAIN: (0.22, 0.45, 0.12),
+    _B.JUNGLE_LEAVES_FRUITS: (0.26, 0.47, 0.14),
+    _B.CACTUS: (0.25, 0.45, 0.20),
+    _B.PALM_WOOD: (0.48, 0.36, 0.22),
+    _B.PALM_LEAVES: (0.30, 0.52, 0.18),
+    _B.MAGENTA_CRYSTAL: (0.85, 0.35, 0.85),
+    _B.CYAN_CRYSTAL: (0.35, 0.85, 0.85),
+    _B.GREEN_CRYSTAL: (0.40, 0.85, 0.40),
+    _B.SMOOTH_SAND: (0.90, 0.86, 0.70),
+    _B.TERRACOTTA: (0.60, 0.36, 0.26),
+    _B.YELLOW_TERRACOTTA: (0.73, 0.52, 0.20),
+    _B.ORANGE_TERRACOTTA: (0.70, 0.38, 0.18),
+    _B.PURPLE_TERRACOTTA: (0.47, 0.30, 0.35),
+    _B.RED_TERRACOTTA: (0.56, 0.25, 0.19),
+    _B.WHITE_TERRACOTTA: (0.82, 0.70, 0.64),
+    _B.QUARTZ: (0.93, 0.92, 0.89),
+    _B.ICE: (0.62, 0.76, 0.95),
+    _B.PACKED_ICE: (0.55, 0.70, 0.92),
+    _B.BLUE_ICE: (0.45, 0.62, 0.90),
+    _B.BIRCH_WOOD: (0.85, 0.83, 0.77),
+    _B.BIRCH_LEAVES: (0.42, 0.58, 0.26),
+    _B.YELLOW_BIRCH_LEAVES: (0.80, 0.70, 0.22),
+    _B.ORANGE_BIRCH_LEAVES: (0.82, 0.48, 0.15),
+    _B.ACACIA_WOOD: (0.55, 0.34, 0.23),
+    _B.ACACIA_LEAVES: (0.45, 0.56, 0.22),
+    _B.PINE_WOOD: (0.38, 0.27, 0.16),
+    _B.PINE_LEAVES_1: (0.20, 0.38, 0.21),
+    _B.PINE_LEAVES_2: (0.16, 0.33, 0.19),
+    _B.REDWOOD_WOOD: (0.45, 0.25, 0.16),
+    _B.REDWOOD_LEAVES: (0.18, 0.35, 0.17),
+    _B.CYPRESS_WOOD: (0.42, 0.32, 0.22),
+    _B.CYPRESS_LEAVES: (0.25, 0.42, 0.20),
+    _B.GLOWSTONE: (1.00, 0.85, 0.45),
+    _B.SHROOMLIGHT: (1.00, 0.70, 0.40),
+    _B.SEA_LANTERN: (0.80, 0.95, 0.95),
+    _B.WARPED_DEEPSLATE: (0.20, 0.45, 0.42),
+    _B.WARPED_BLACKSTONE: (0.15, 0.35, 0.35),
+    _B.MOSS: (0.30, 0.45, 0.20),
+    _B.AMBER_DEEPSLATE: (0.55, 0.40, 0.18),
+    _B.AMBER_BLACKSTONE: (0.45, 0.32, 0.14),
+    _B.WARPED_STEM: (0.25, 0.50, 0.48),
+    _B.WARPED_WART: (0.20, 0.55, 0.50),
+    _B.AMBER_STEM: (0.60, 0.45, 0.22),
+    _B.AMBER_WART: (0.72, 0.50, 0.20),
+    _B.COBBLESTONE: (0.45, 0.45, 0.45),
+    _B.COBBLED_DEEPSLATE: (0.28, 0.28, 0.30),
+    _B.BRAIN_CORAL_BLOCK: (0.80, 0.45, 0.65),
+    _B.BUBBLE_CORAL_BLOCK: (0.65, 0.30, 0.65),
+    _B.FIRE_CORAL_BLOCK: (0.80, 0.25, 0.25),
+    _B.HORN_CORAL_BLOCK: (0.80, 0.75, 0.30),
+    _B.TUBE_CORAL_BLOCK: (0.30, 0.40, 0.80),
+}
+
+
+def _fallback_color(i: int):
+    # deterministic pleasant-ish fallback from the block id
+    h = (i * 2654435761) & 0xFFFFFFFF
+    r = 0.3 + 0.5 * ((h & 255) / 255.0)
+    g = 0.3 + 0.5 * (((h >> 8) & 255) / 255.0)
+    b = 0.3 + 0.5 * (((h >> 16) & 255) / 255.0)
+    return (r, g, b)
+
+
+BLOCK_ALBEDO = np.zeros((NUM_BLOCKS, 3), np.float32)
+for _i in range(NUM_BLOCKS):
+    BLOCK_ALBEDO[_i] = _PALETTE.get(Block(_i), _fallback_color(_i))
+BLOCK_ALBEDO[int(_B.AIR)] = 0.0
+
+#: per-block emission "alpha" in [0,1] (reference: emissive atlas w channel;
+#: indirect strength = w × 100, basic_shaders.cu:976-979)
+BLOCK_EMISSION_W = np.clip(EMISSION / 8.0, 0.0, 1.0).astype(np.float32)
+
+#: per-block Mat class (uint8) — re-export for the tracer
+BLOCK_MAT = MATERIAL
+
+# ---------------------------------------------------------------------------
+# Packed per-block property word — ONE i32 gather yields everything the shader
+# needs (per-lane gathers are latency-bound on TPU, so lookups are merged):
+#   bits  0..7   albedo r (x255)
+#   bits  8..15  albedo g
+#   bits 16..23  albedo b
+#   bits 24..26  Mat class
+#   bits 27..31  emission w (x31)
+# ---------------------------------------------------------------------------
+
+_r = np.clip(BLOCK_ALBEDO[:, 0] * 255.0 + 0.5, 0, 255).astype(np.int64)
+_g = np.clip(BLOCK_ALBEDO[:, 1] * 255.0 + 0.5, 0, 255).astype(np.int64)
+_b = np.clip(BLOCK_ALBEDO[:, 2] * 255.0 + 0.5, 0, 255).astype(np.int64)
+_m = BLOCK_MAT.astype(np.int64)
+_e = np.clip(BLOCK_EMISSION_W * 31.0 + 0.5, 0, 31).astype(np.int64)
+BLOCK_PROPS = (_r | (_g << 8) | (_b << 16) | (_m << 24) | (_e << 27)).astype(np.uint32)
+
+
+def unpack_props(props_u32):
+    """props word -> (r, g, b f32 in [0,1], mat i32, emis_w f32 in [0,1])."""
+    import jax.numpy as jnp
+
+    p = props_u32.astype(jnp.uint32)
+    inv255 = jnp.float32(1.0 / 255.0)
+    r = (p & jnp.uint32(0xFF)).astype(jnp.float32) * inv255
+    g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv255
+    b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv255
+    mat = ((p >> jnp.uint32(24)) & jnp.uint32(0x7)).astype(jnp.int32)
+    emis = ((p >> jnp.uint32(27)) & jnp.uint32(0x1F)).astype(jnp.float32) * jnp.float32(1.0 / 31.0)
+    return r, g, b, mat, emis
+
+
+def mat_scalar(mat_i32, table_np):
+    """6-entry Mat-class scalar via a static select chain (no gather)."""
+    import jax.numpy as jnp
+
+    out = jnp.full(mat_i32.shape, jnp.asarray(table_np[0]))
+    for k in range(1, len(table_np)):
+        out = jnp.where(mat_i32 == k, jnp.asarray(table_np[k]), out)
+    return out

@@ -1,0 +1,710 @@
+"""Wavefront voxel path tracer: brick-skipping DDA + the reference's light transport.
+
+TPU-native equivalent of the reference OptiX megakernel path tracer (reference
+behavior: /root/reference/src/shaders/basic_shaders.cu:558-1090 — jittered pinhole
+rays, ≤4 bounces with specular bounces not counting depth, per-bounce NEE shadow ray
+to a sampled sun-or-moon disk with 0.05/0.02 compensation, Russian roulette after
+depth 2, volumetric scatter events (exp fog, FOG_SCATTER −0.005, scattered rays
+direct-light-only), water (IOR 1.33, fBm wave normals) / crystal (IOR 2.3)
+reflect/refract with Schlick fresnel, GGX importance-sampled microfacets
+(roughness 0.4/0.6/0.9), emissive blocks, per-pixel running-average accumulation of
+color/albedo/normal AOVs keyed by frame id; TEA+LCG per-pixel RNG,
+random_number_generators.h).
+
+Design: rays are whole-image component arrays ([H, W] lanes); traversal is a
+restart-parametric DDA over the merged distance-field/block volume (brickmap.py) —
+every iteration all rays do the identical step: ONE i32 gather whose value is either
+the hit block id or a safe Chebyshev empty-space skip, so the loop is pure VPU math
+with the minimum possible gather count (per-lane gathers are the scarce resource on
+TPU).  Per-block shading properties come from a single packed-word gather
+(materials.BLOCK_PROPS).  RTX BVH traversal is replaced entirely; "anyhit alpha
+cutout" becomes the solidity table (X-shaped flora are non-solid).  The bounce loop is
+a single ``lax.while_loop`` whose body contains one radiance DDA + one shadow DDA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hashes
+from ..world.blocks import Block
+from . import sky as sky_mod
+from .brickmap import Scene
+from .materials import (
+    BLOCK_PROPS,
+    MAT_IOR,
+    MAT_ROUGHNESS,
+    MAT_SPECULAR,
+    MAT_WAVY,
+    mat_scalar,
+    unpack_props,
+)
+from .sky import SkyParams, linearstep, smoothstep
+
+F32 = jnp.float32
+I32 = jnp.int32
+U8 = jnp.uint8
+
+MAX_RAY_DEPTH = 4
+MAX_LOOP_ITERS = 7  # depth 4 + specular extensions
+MAX_TRACE_STEPS = 320
+FOG_SCATTER = -0.005
+AIR = int(Block.AIR)
+
+from ..world.blocks import SOLID as _SOLID_NP  # noqa: E402
+
+
+def _solid_tab():
+    # numpy constant -> embedded as an XLA literal at trace time (never cached as a
+    # traced value, which would leak tracers across jit scopes)
+    return jnp.asarray(_SOLID_NP)
+
+
+class TraceResult(NamedTuple):
+    hit: jnp.ndarray
+    t: jnp.ndarray
+    block: jnp.ndarray  # u8
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+
+
+def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
+    """Distance-field DDA from (o, d) in world space: ONE i32 gather per step; empty
+    space is skipped by the Chebyshev distance stored in the field (brickmap.py).
+    medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
+    All args [..] arrays."""
+    zdim, xdim, ydim = scene.field.shape
+    orig = scene.origin.astype(F32)  # world (x, y, z) of volume corner
+
+    inv = lambda d: jnp.where(jnp.abs(d) < F32(1e-12), F32(1e12) * jnp.sign(d) + F32(1e12) * (d == 0), F32(1.0) / d)
+    idx_ = inv(dx)
+    idy_ = inv(dy)
+    idz_ = inv(dz)
+
+    # AABB clip
+    lo = (orig[0], orig[1], orig[2])
+    hi = (orig[0] + F32(xdim), orig[1] + F32(ydim), orig[2] + F32(zdim))
+    tx0 = (lo[0] - ox) * idx_
+    tx1 = (hi[0] - ox) * idx_
+    ty0 = (lo[1] - oy) * idy_
+    ty1 = (hi[1] - oy) * idy_
+    tz0 = (lo[2] - oz) * idz_
+    tz1 = (hi[2] - oz) * idz_
+    t_in = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)), jnp.minimum(tz0, tz1)
+    )
+    t_out = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)), jnp.maximum(tz0, tz1)
+    )
+    t_start = jnp.maximum(t_in, F32(0.0)) + F32(1e-4)
+    alive0 = (t_out > t_start) & (t_out > F32(0.0))
+
+    flat_field = scene.field.reshape(-1)
+    med_i = medium.astype(I32)
+    is_air_medium = med_i == I32(AIR)
+
+    def body(state):
+        t, alive, hit, hit_block, step = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        vx = jnp.clip(jnp.floor(px - orig[0]).astype(I32), 0, xdim - 1)
+        vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
+        vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
+
+        val = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE gather
+
+        # hit rule: in air, any solid (val>0); in a dense medium, anything that is
+        # not the medium itself — the first air voxel is the exit interface
+        new_hit = alive & jnp.where(is_air_medium, val > 0, val != med_i)
+        hit_block = jnp.where(new_hit, jnp.maximum(val, I32(0)).astype(U8), hit_block)
+        hit = hit | new_hit
+        alive = alive & ~new_hit
+
+        # advance: at least to the current 1³ cell exit; in air additionally skip
+        # (dist − 1) blocks, safe under the L∞ bound
+        bx = jnp.where(dx > 0, vx.astype(F32) + orig[0] + 1, vx.astype(F32) + orig[0])
+        by = jnp.where(dy > 0, vy.astype(F32) + orig[1] + 1, vy.astype(F32) + orig[1])
+        bz = jnp.where(dz > 0, vz.astype(F32) + orig[2] + 1, vz.astype(F32) + orig[2])
+        t_exit = jnp.minimum(
+            jnp.minimum((bx - ox) * idx_, (by - oy) * idy_), (bz - oz) * idz_
+        )
+        skip = jnp.where(is_air_medium, (-val - 1).astype(F32), F32(0.0))
+        t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
+        t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
+        t = jnp.where(alive, t_next, t)
+        alive = alive & (t < t_out)
+        return t, alive, hit, hit_block, step + 1
+
+    def cond(state):
+        _, alive, _, _, step = state
+        return jnp.any(alive) & (step < MAX_TRACE_STEPS)
+
+    t0 = jnp.where(alive0, t_start, F32(1e20))
+    init = (
+        t0,
+        alive0,
+        jnp.zeros_like(alive0),
+        jnp.zeros(jnp.shape(ox), U8),
+        jnp.zeros((), I32),
+    )
+    t, _, hit, hit_block, _ = jax.lax.while_loop(cond, body, init)
+
+    # hit voxel + entry-face normal
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+    vx = jnp.floor(px - orig[0])
+    vy = jnp.floor(py - orig[1])
+    vz = jnp.floor(pz - orig[2])
+    ex = (vx + (dx < 0) + orig[0] - ox) * idx_
+    ey = (vy + (dy < 0) + orig[1] - oy) * idy_
+    ez = (vz + (dz < 0) + orig[2] - oz) * idz_
+    t_entry = jnp.maximum(jnp.maximum(ex, ey), ez)
+    nx = jnp.where(ex >= t_entry, -jnp.sign(dx), 0.0)
+    ny = jnp.where((ey >= t_entry) & (ex < t_entry), -jnp.sign(dy), 0.0)
+    nz = jnp.where((ez >= t_entry) & (ex < t_entry) & (ey < t_entry), -jnp.sign(dz), 0.0)
+    t_hit = jnp.where(hit, jnp.maximum(t_entry, F32(0.0)), F32(1e20))
+
+    # water/crystal exit into air: surface normal points out of the dense medium
+    exit_iface = (medium != U8(AIR)) & (hit_block == U8(AIR)) & hit
+    nx = jnp.where(exit_iface, -nx, nx)
+    ny = jnp.where(exit_iface, -ny, ny)
+    nz = jnp.where(exit_iface, -nz, nz)
+
+    return TraceResult(hit=hit, t=t_hit, block=hit_block, nx=nx, ny=ny, nz=nz)
+
+
+# ---------------------------------------------------------------------------
+# Sampling helpers (basic_shaders.cu:113-168, 777-800)
+# ---------------------------------------------------------------------------
+
+SQRT_ONE_THIRD = 0.57735026918962576450914878050
+
+
+def _perp_dirs(nx, ny, nz):
+    ax = jnp.abs(nx) < F32(SQRT_ONE_THIRD)
+    ay = jnp.abs(ny) < F32(SQRT_ONE_THIRD)
+    ox = jnp.where(ax, F32(1.0), F32(0.0))
+    oy = jnp.where(~ax & ay, F32(1.0), F32(0.0))
+    oz = jnp.where(~ax & ~ay, F32(1.0), F32(0.0))
+    # p1 = normalize(cross(n, o))
+    p1x = ny * oz - nz * oy
+    p1y = nz * ox - nx * oz
+    p1z = nx * oy - ny * ox
+    inv = F32(1.0) / jnp.sqrt(jnp.maximum(p1x * p1x + p1y * p1y + p1z * p1z, 1e-12))
+    p1x, p1y, p1z = p1x * inv, p1y * inv, p1z * inv
+    p2x = ny * p1z - nz * p1y
+    p2y = nz * p1x - nx * p1z
+    p2z = nx * p1y - ny * p1x
+    inv2 = F32(1.0) / jnp.sqrt(jnp.maximum(p2x * p2x + p2y * p2y + p2z * p2z, 1e-12))
+    return p1x, p1y, p1z, p2x * inv2, p2y * inv2, p2z * inv2
+
+
+def _cosine_hemisphere(nx, ny, nz, s1, s2):
+    up = jnp.sqrt(s1)
+    over = jnp.sqrt(jnp.maximum(F32(1.0) - s1, 0.0))
+    around = s2 * F32(2.0 * np.pi)
+    p1x, p1y, p1z, p2x, p2y, p2z = _perp_dirs(nx, ny, nz)
+    ca = jnp.cos(around) * over
+    sa = jnp.sin(around) * over
+    return (
+        up * nx + ca * p1x + sa * p2x,
+        up * ny + ca * p1y + sa * p2y,
+        up * nz + ca * p1z + sa * p2z,
+    )
+
+
+def _sample_star(params: SkyParams, is_sun, scattering, s1, s2):
+    """sampleStar (basic_shaders.cu:148-168): jittered direction within the disk."""
+    star = jnp.where(is_sun[..., None], params.sun_dir, params.moon_dir)
+    nx, ny, nz = star[..., 0], star[..., 1], star[..., 2]
+    radius = jnp.where(is_sun, F32(0.1000), F32(0.0775))
+    p1x, p1y, p1z, p2x, p2y, p2z = _perp_dirs(nx, ny, nz)
+    around = s2 * F32(2.0 * np.pi)
+    ddx = jnp.cos(around) * p1x + jnp.sin(around) * p2x
+    ddy = jnp.cos(around) * p1y + jnp.sin(around) * p2y
+    ddz = jnp.cos(around) * p1z + jnp.sin(around) * p2z
+    inv = F32(1.0) / jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-12))
+    rx = nx + s1 * radius * ddx * inv
+    ry = ny + s1 * radius * ddy * inv
+    rz = nz + s1 * radius * ddz * inv
+    n = F32(1.0) / jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    out = (rx * n, ry * n, rz * n)
+    return tuple(jnp.where(scattering, a, b) for a, b in zip((nx, ny, nz), out))
+
+
+def _reflect(dx, dy, dz, nx, ny, nz):
+    d = dx * nx + dy * ny + dz * nz
+    return dx - 2 * d * nx, dy - 2 * d * ny, dz - 2 * d * nz
+
+
+def _refract(dx, dy, dz, nx, ny, nz, eta):
+    """GLSL-style refract (basic_shaders.cu:209-217); returns 0 vec on TIR."""
+    nd = nx * dx + ny * dy + nz * dz
+    k = F32(1.0) - eta * eta * (F32(1.0) - nd * nd)
+    ok = k >= F32(0.0)
+    ks = jnp.sqrt(jnp.maximum(k, 0.0))
+    rx = eta * dx - (eta * nd + ks) * nx
+    ry = eta * dy - (eta * nd + ks) * ny
+    rz = eta * dz - (eta * nd + ks) * nz
+    inv = F32(1.0) / jnp.sqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-12))
+    return (
+        jnp.where(ok, rx * inv, 0.0),
+        jnp.where(ok, ry * inv, 0.0),
+        jnp.where(ok, rz * inv, 0.0),
+        ok,
+    )
+
+
+def _schlick(dx, dy, dz, nx, ny, nz, ior):
+    cos_t = jnp.abs(dx * nx + dy * ny + dz * nz)
+    r0 = (F32(1.0) - ior) / (F32(1.0) + ior)
+    r0 = r0 * r0
+    return r0 + (F32(1.0) - r0) * jnp.power(F32(1.0) - cos_t, F32(5.0))
+
+
+def _ggx_sample(nx, ny, nz, rough, s1, s2):
+    a = rough * rough
+    phi = F32(2.0 * np.pi) * s1
+    cos_t = jnp.sqrt((F32(1.0) - s2) / (F32(1.0) + (a * a - F32(1.0)) * s2))
+    sin_t = jnp.sqrt(jnp.maximum(F32(1.0) - cos_t * cos_t, 0.0))
+    p1x, p1y, p1z, p2x, p2y, p2z = _perp_dirs(nx, ny, nz)
+    whx = jnp.cos(phi) * sin_t * p1x + jnp.sin(phi) * sin_t * p2x + cos_t * nx
+    why = jnp.cos(phi) * sin_t * p1y + jnp.sin(phi) * sin_t * p2y + cos_t * ny
+    whz = jnp.cos(phi) * sin_t * p1z + jnp.sin(phi) * sin_t * p2z + cos_t * nz
+    inv = F32(1.0) / jnp.sqrt(jnp.maximum(whx * whx + why * why + whz * whz, 1e-12))
+    return whx * inv, why * inv, whz * inv
+
+
+def _trowbridge_reitz_d(whx, why, whz, nx, ny, nz, rough):
+    cos2 = (whx * nx + why * ny + whz * nz) ** 2
+    tan2 = (F32(1.0) - cos2) / jnp.maximum(cos2, 1e-12)
+    cos4 = cos2 * cos2
+    e = jnp.abs((F32(1.0) / (rough * rough) + F32(1.0) / (rough * rough)) * jnp.sqrt(tan2)) * F32(0.5) * 2 * 0.5
+    # (cos2Phi + sin2Phi) / rough² == 1/rough² — the reference's anisotropy collapses
+    e = jnp.abs(jnp.sqrt(tan2) / (rough * rough))
+    d = F32(1.0) / (F32(np.pi) * rough * rough * jnp.maximum(cos4, 1e-12) * (F32(1.0) + e) ** 2)
+    return jnp.maximum(d, 0.0)
+
+
+def _wave_normal(px, py, pz, nx, ny, nz, time):
+    """applyWaveNoise (basic_shaders.cu:766-777): fBm-perturbed water normal."""
+    ax = (px + py) * F32(0.45)
+    az = pz + py
+    at = time * F32(0.3)
+    perlin_x = sky_mod.fbm_p(ax, az, jnp.broadcast_to(at, ax.shape), octaves=4)
+    perlin_z = sky_mod.fbm_p(
+        ax + F32(74159.21), az + F32(21982.43), jnp.broadcast_to(at + F32(18923.34), ax.shape), octaves=4
+    )
+    nx2 = nx + perlin_x * F32(0.3)
+    nz2 = nz + perlin_z * F32(0.3)
+    inv = F32(1.0) / jnp.sqrt(jnp.maximum(nx2 * nx2 + ny * ny + nz2 * nz2, 1e-12))
+    return nx2 * inv, ny * inv, nz2 * inv
+
+
+class FrameBuffers(NamedTuple):
+    color: jnp.ndarray  # [H, W, 3] running average
+    albedo: jnp.ndarray
+    normal: jnp.ndarray
+
+
+def init_framebuffers(height: int, width: int) -> FrameBuffers:
+    z = jnp.zeros((height, width, 3), F32)
+    return FrameBuffers(color=z, albedo=z, normal=z)
+
+
+def _rng(seed):
+    return hashes.rnd(seed)
+
+
+def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int, frame_id):
+    """One 1-spp path-traced sample of the full frame.
+
+    Returns (color, albedo, normal) [H, W, 3] f32 (NOT accumulated).
+    """
+    from .camera import pixel_rays
+
+    ix = jnp.arange(width, dtype=I32)[None, :]
+    iy = jnp.arange(height, dtype=I32)[:, None]
+    seed = hashes.tea(iy * width + ix, jnp.asarray(frame_id, I32), rounds=4)
+    seed = jnp.broadcast_to(seed, (height, width))
+
+    j1, seed = _rng(seed)
+    j2, seed = _rng(seed)
+    dx, dy, dz = pixel_rays(cam, width, height, (j1, j2))
+
+    shape = (height, width)
+    zeros = jnp.zeros(shape, F32)
+    f0 = lambda: (zeros, zeros, zeros)
+
+    pos = (
+        jnp.broadcast_to(cam.position[0], shape),
+        jnp.broadcast_to(cam.position[1], shape),
+        jnp.broadcast_to(cam.position[2], shape),
+    )
+
+    props_tab = jnp.asarray(BLOCK_PROPS)
+
+    sun_y = params.sun_dir[1]
+
+    state = dict(
+        depth=jnp.zeros(shape, I32),
+        it=jnp.zeros((), I32),
+        pos=pos,
+        dir=(dx, dy, dz),
+        medium=jnp.full(shape, U8(AIR)),
+        seed=seed,
+        ray_color=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
+        pixel_color=f0(),
+        albedo=f0(),
+        normal=f0(),
+        needs_first=jnp.ones(shape, bool),
+        done=jnp.zeros(shape, bool),
+        scattered=jnp.zeros(shape, bool),
+        scatter_pos=pos,
+        scatter_factor=zeros + 1.0,
+        fog_color=f0(),
+        fog_factor=zeros,
+    )
+
+    def active_of(s):
+        return ~s["done"] & ~s["scattered"] & (s["depth"] < MAX_RAY_DEPTH)
+
+    def cond(s):
+        return jnp.any(active_of(s)) & (s["it"] < MAX_LOOP_ITERS)
+
+    def body(s, first: bool = False):
+        """One bounce.  ``first=True`` (static) enables the first-hit-only logic —
+        clouds+stars in the sky, AOV capture, volumetric scatter events.  Since every
+        ray resolves its first hit in iteration 0, the while_loop body compiles with
+        ``first=False`` and stays lean (reference gates the same logic on
+        prd.needsFirstHitData, basic_shaders.cu)."""
+        active = active_of(s)
+        ox, oy, oz = s["pos"]
+        ddx, ddy, ddz = s["dir"]
+        seed = s["seed"]
+        needs_first = s["needs_first"] if first else jnp.zeros(s["needs_first"].shape, bool)
+
+        res = trace(scene, ox, oy, oz, ddx, ddy, ddz, s["medium"])
+        hit = res.hit & active
+        miss = ~res.hit & active
+
+        isx = ox + ddx * res.t
+        isy = oy + ddy * res.t
+        isz = oz + ddz * res.t
+
+        # ---- sky evaluations (shared by miss + fog colors) ----
+        if first:
+            (sky_r, sky_g, sky_b), _found = sky_mod.sky_color(
+                ddx, ddy, ddz, params, origin=s["pos"], first_hit=needs_first
+            )
+            (fog_r, fog_g, fog_b), _ = sky_mod.sky_color(
+                ddx, ddy, ddz, params, origin=s["pos"], first_hit=needs_first, include_stars=False
+            )
+        else:
+            (sky_r, sky_g, sky_b), _found = sky_mod.sky_color(ddx, ddy, ddz, params)
+            fog_r = fog_g = fog_b = zeros
+
+        pr, pg, pb = s["pixel_color"]
+        rr, rg, rb = s["ray_color"]
+        ar, ag, ab = s["albedo"]
+        nr, ng, nb = s["normal"]
+        fcr, fcg, fcb = s["fog_color"]
+        fog_factor = s["fog_factor"]
+        scatter_factor = s["scatter_factor"]
+        scattered = s["scattered"]
+        scatter_pos = s["scatter_pos"]
+        done = s["done"]
+        medium = s["medium"]
+
+        r_scatter, seed = _rng(seed)
+
+        # ======== MISS (sky) — basic_shaders.cu:727-748 ========
+        pr = pr + jnp.where(miss, sky_r * rr, 0.0)
+        pg = pg + jnp.where(miss, sky_g * rg, 0.0)
+        pb = pb + jnp.where(miss, sky_b * rb, 0.0)
+        if first:
+            m_first = miss & needs_first
+            ar = jnp.where(m_first, sky_r, ar)
+            ag = jnp.where(m_first, sky_g, ag)
+            ab = jnp.where(m_first, sky_b, ab)
+            nr = jnp.where(m_first, -ddx, nr)
+            ng = jnp.where(m_first, -ddy, ng)
+            nb = jnp.where(m_first, -ddz, nb)
+            sky_time = jnp.log(jnp.maximum(F32(1.0) - r_scatter, 1e-7)) / F32(FOG_SCATTER)
+            scatter_pos = tuple(
+                jnp.where(m_first, o + d * sky_time, sp)
+                for o, d, sp in zip((ox, oy, oz), (ddx, ddy, ddz), scatter_pos)
+            )
+            m_sf = smoothstep(0.0, 3.5, r_scatter)
+            scattered = scattered | m_first
+            scatter_factor = jnp.where(m_first, m_sf, scatter_factor)
+            fcr = jnp.where(m_first, sky_r, fcr)
+            fcg = jnp.where(m_first, sky_g, fcg)
+            fcb = jnp.where(m_first, sky_b, fcb)
+            fog_factor = jnp.where(m_first, F32(1.0) - m_sf, fog_factor)
+            needs_first = needs_first & ~m_first
+        done = done | miss
+
+        # ======== HIT ========
+        # single packed-property gather per lookup (materials.BLOCK_PROPS)
+        blk = res.block.astype(I32)
+        # water/crystal exiting into AIR keeps the medium's material
+        exit_to_air = (medium != U8(AIR)) & (res.block == U8(AIR))
+        eff_blk = jnp.where(exit_to_air, medium.astype(I32), blk)
+        props = props_tab[eff_blk]
+        col_r, col_g, col_b, mat, emis_w = unpack_props(props)
+        is_spec = mat_scalar(mat, MAT_SPECULAR)
+        rough = mat_scalar(mat, MAT_ROUGHNESS)
+        ior = mat_scalar(mat, MAT_IOR)
+        # per-voxel brightness jitter (substitutes texture detail); not applied to
+        # the medium-exit pseudo-surface
+        jit = F32(0.9) + F32(0.2) * hashes.rand1_from3(
+            jnp.floor(isx - res.nx * 0.5), jnp.floor(isy - res.ny * 0.5), jnp.floor(isz - res.nz * 0.5)
+        )
+        jit = jnp.where(exit_to_air, F32(1.0), jit)
+        col_r, col_g, col_b = col_r * jit, col_g * jit, col_b * jit
+        horiz = jnp.sqrt(ddx * ddx + ddz * ddz) * res.t
+        hit_fog_factor = smoothstep(220.0, 300.0, horiz)
+
+        # ---- volumetric scatter event at first hit (closesthit:868-880) ----
+        if first:
+            scatter_chance = (F32(1.0) - jnp.exp(F32(FOG_SCATTER) * res.t)) * smoothstep(0.55, 0.35, sun_y)
+            h_first = hit & needs_first
+            h_scatter = h_first & (scatter_chance > r_scatter)
+            ar = jnp.where(h_scatter, col_r, ar)
+            ag = jnp.where(h_scatter, col_g, ag)
+            ab = jnp.where(h_scatter, col_b, ab)
+            nr = jnp.where(h_scatter, res.nx, nr)
+            ng = jnp.where(h_scatter, res.ny, ng)
+            nb = jnp.where(h_scatter, res.nz, nb)
+            sc_t = jnp.log(jnp.maximum(F32(1.0) - r_scatter, 1e-7)) / F32(FOG_SCATTER)
+            scatter_pos = tuple(
+                jnp.where(h_scatter, o + d * sc_t, sp)
+                for o, d, sp in zip((ox, oy, oz), (ddx, ddy, ddz), scatter_pos)
+            )
+            scattered = scattered | h_scatter
+            scatter_factor = jnp.where(h_scatter, smoothstep(0.0, 3.5, F32(1.0) - r_scatter), scatter_factor)
+            fcr = jnp.where(h_scatter, fog_r, fcr)
+            fcg = jnp.where(h_scatter, fog_g, fcg)
+            fcb = jnp.where(h_scatter, fog_b, fcb)
+            fog_factor = jnp.where(h_scatter, hit_fog_factor, fog_factor)
+            needs_first = needs_first & ~h_scatter
+            h_shade = hit & ~h_scatter
+        else:
+            h_shade = hit
+
+        # ---- specular (water/crystal) ----
+        nx, ny, nz = res.nx, res.ny, res.nz
+        wavy = mat_scalar(mat, MAT_WAVY) & h_shade
+        wnx, wny, wnz = _wave_normal(isx, isy, isz, nx, ny, nz, params.time)
+        nx = jnp.where(wavy, wnx, nx)
+        ny = jnp.where(wavy, wny, ny)
+        nz = jnp.where(wavy, wnz, nz)
+
+        spec = h_shade & is_spec
+        entering = ddx * nx + ddy * ny + ddz * nz  # dot(rayDir, nor)
+        r_spec, seed = _rng(seed)
+
+        # ENTERING (entering < 0)
+        ent = entering < F32(0.0)
+        refr_e = r_spec < -entering
+        fres_in = _schlick(ddx, ddy, ddz, nx, ny, nz, ior)
+        rfx, rfy, rfz, _ok = _refract(ddx, ddy, ddz, nx, ny, nz, F32(1.0) / jnp.maximum(ior, 1e-6))
+        rlx, rly, rlz = _reflect(ddx, ddy, ddz, nx, ny, nz)
+        # EXITING
+        sin_tt = ior * jnp.sqrt(jnp.maximum(F32(1.0) - entering * entering, 0.0))
+        refr_x = r_spec < entering / jnp.maximum(F32(1.0), sin_tt)
+        rfx2, rfy2, rfz2, _ok2 = _refract(ddx, ddy, ddz, -nx, -ny, -nz, ior)
+        rlx2, rly2, rlz2 = _reflect(ddx, ddy, ddz, -nx, -ny, -nz)
+        fres_out = _schlick(ddx, ddy, ddz, -nx, -ny, -nz, ior)
+
+        new_dx = jnp.where(ent, jnp.where(refr_e, rfx, rlx), jnp.where(refr_x, rfx2, rlx2))
+        new_dy = jnp.where(ent, jnp.where(refr_e, rfy, rly), jnp.where(refr_x, rfy2, rly2))
+        new_dz = jnp.where(ent, jnp.where(refr_e, rfz, rlz), jnp.where(refr_x, rfz2, rlz2))
+        off = jnp.where(ent, jnp.where(refr_e, F32(-0.001), F32(0.001)), jnp.where(refr_x, F32(0.001), F32(-0.001)))
+        spec_px = isx + nx * off
+        spec_py = isy + ny * off
+        spec_pz = isz + nz * off
+        spec_weight = jnp.where(
+            ent,
+            jnp.where(refr_e, F32(1.0) - fres_in, fres_in),
+            jnp.where(refr_x, F32(1.0) - fres_out, fres_out),
+        ) * ior
+
+        # medium update on refraction through the interface
+        # entering refr: medium <- hit block; exiting refr: medium <- AIR
+        new_medium = jnp.where(
+            spec & ent & refr_e,
+            res.block,
+            jnp.where(spec & ~ent & refr_x, U8(AIR), medium),
+        )
+
+        # ---- microfacet / diffuse ----
+        g1, seed = _rng(seed)
+        g2, seed = _rng(seed)
+        cdx, cdy, cdz = _cosine_hemisphere(nx, ny, nz, g1, g2)
+        gx1, seed = _rng(seed)
+        gx2, seed = _rng(seed)
+        whx, why, whz = _ggx_sample(nx, ny, nz, jnp.maximum(rough, F32(1e-3)), gx1, gx2)
+        wox, woy, woz = -ddx, -ddy, -ddz
+        owh = wox * whx + woy * why + woz * whz
+        mdx = 2 * owh * whx - wox
+        mdy = 2 * owh * why - woy
+        mdz = 2 * owh * whz - woz
+        minv = F32(1.0) / jnp.sqrt(jnp.maximum(mdx * mdx + mdy * mdy + mdz * mdz, 1e-12))
+        mdx, mdy, mdz = mdx * minv, mdy * minv, mdz * minv
+        is_micro = rough > F32(0.0)
+        d_ggx = _trowbridge_reitz_d(whx, why, whz, nx, ny, nz, jnp.maximum(rough, F32(1e-3)))
+        ndl = jnp.abs(nx * mdx + ny * mdy + nz * mdz)
+        ndv = jnp.abs(nx * wox + ny * woy + nz * woz)
+        micro_mul = jnp.clip(d_ggx / jnp.maximum(F32(4.0) * ndl * ndv, 1e-6), 1.0, 4.0)
+        dif_dx = jnp.where(is_micro, mdx, cdx)
+        dif_dy = jnp.where(is_micro, mdy, cdy)
+        dif_dz = jnp.where(is_micro, mdz, cdz)
+        dcol_r = jnp.where(is_micro, col_r * micro_mul, col_r)
+        dcol_g = jnp.where(is_micro, col_g * micro_mul, col_g)
+        dcol_b = jnp.where(is_micro, col_b * micro_mul, col_b)
+
+        # ---- emissive ----
+        emissive = h_shade & ~spec & (emis_w > F32(0.0))
+        if first:
+            e_strength = jnp.where(needs_first, F32(1.5), emis_w * F32(100.0))
+        else:
+            e_strength = emis_w * F32(100.0)
+        pr = pr + jnp.where(emissive, rr * col_r * e_strength, 0.0)
+        pg = pg + jnp.where(emissive, rg * col_g * e_strength, 0.0)
+        pb = pb + jnp.where(emissive, rb * col_b * e_strength, 0.0)
+
+        # ---- ray color / position / direction updates ----
+        diffuse_like = h_shade & ~spec & ~emissive
+        rr = jnp.where(spec, rr * spec_weight * col_r, jnp.where(diffuse_like, rr * dcol_r, rr))
+        rg = jnp.where(spec, rg * spec_weight * col_g, jnp.where(diffuse_like, rg * dcol_g, rg))
+        rb = jnp.where(spec, rb * spec_weight * col_b, jnp.where(diffuse_like, rb * dcol_b, rb))
+
+        new_px = jnp.where(spec, spec_px, jnp.where(diffuse_like, isx + nx * F32(0.001), ox))
+        new_py = jnp.where(spec, spec_py, jnp.where(diffuse_like, isy + ny * F32(0.001), oy))
+        new_pz = jnp.where(spec, spec_pz, jnp.where(diffuse_like, isz + nz * F32(0.001), oz))
+        upd_dir = spec | diffuse_like
+        new_ddx = jnp.where(spec, new_dx, jnp.where(diffuse_like, dif_dx, ddx))
+        new_ddy = jnp.where(spec, new_dy, jnp.where(diffuse_like, dif_dy, ddy))
+        new_ddz = jnp.where(spec, new_dz, jnp.where(diffuse_like, dif_dz, ddz))
+        medium = jnp.where(spec, new_medium, medium)
+        _ = upd_dir
+
+        # first-hit AOVs for shaded hits
+        if first:
+            hf2 = h_shade & needs_first
+            ar = jnp.where(hf2, col_r, ar)
+            ag = jnp.where(hf2, col_g, ag)
+            ab = jnp.where(hf2, col_b, ab)
+            nr = jnp.where(hf2, nx, nr)
+            ng = jnp.where(hf2, ny, ng)
+            nb = jnp.where(hf2, nz, nb)
+            fcr = jnp.where(hf2, fog_r, fcr)
+            fcg = jnp.where(hf2, fog_g, fcg)
+            fcb = jnp.where(hf2, fog_b, fcb)
+            fog_factor = jnp.where(hf2, hit_fog_factor, fog_factor)
+            needs_first = needs_first & ~hf2
+
+        done = done | emissive
+
+        # ======== NEE shadow ray (raygen:626-665) ========
+        nee = (active & ~spec & ~done) | (scattered & active)
+        x1, seed = _rng(seed)
+        x2, seed = _rng(seed)
+        r_sun, seed = _rng(seed)
+        sun_chance = linearstep(-0.1, 0.1, sun_y)
+        is_sun = r_sun < sun_chance
+        sdx, sdy, sdz = _sample_star(params, is_sun, scattered, x1, x2)
+        spx = tuple(jnp.where(scattered, sp, p) for sp, p in zip(scatter_pos, (new_px, new_py, new_pz)))
+        sres = trace(scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full(shape, U8(AIR)))
+        shadow_miss = ~sres.hit
+        # doFog's getSkyColor runs with needsFirstHitData already false -> disks yes,
+        # stars/clouds no
+        (ssr, ssg, ssb), s_found = sky_mod.sky_color(sdx, sdy, sdz, params)
+        # doFog (basic_shaders.cu:1030-1043): height attenuation for scattered sky paths
+        sf = jnp.where(
+            scattered & done, scatter_factor * smoothstep(256.0, 128.0, spx[1]), scatter_factor
+        )
+        add = nee & shadow_miss
+        pr = pr + jnp.where(add, ssr * rr * sf, 0.0)
+        pg = pg + jnp.where(add, ssg * rg * sf, 0.0)
+        pb = pb + jnp.where(add, ssb * rb * sf, 0.0)
+        found = add & s_found
+        comp = jnp.where(is_sun, F32(0.05), F32(0.02))
+        apply_comp = nee & found & ~done
+        pr = jnp.where(apply_comp, pr * comp, jnp.where(nee & ~found, 0.0, pr))
+        pg = jnp.where(apply_comp, pg * comp, jnp.where(nee & ~found, 0.0, pg))
+        pb = jnp.where(apply_comp, pb * comp, jnp.where(nee & ~found, 0.0, pb))
+
+        # ======== depth & russian roulette ========
+        # specular hits on even depths don't count toward depth (raygen:621-623:
+        # --depth before the loop's ++depth); RR checks the decremented value
+        spec_even = spec & (s["depth"] % 2 == 0)
+        depth_eff = s["depth"] - jnp.where(spec_even, 1, 0)
+        depth = jnp.where(active, depth_eff + 1, s["depth"])
+
+        rr_active = active & ~done & ~scattered & (depth_eff > 2)
+        lum = F32(0.2126) * pr + F32(0.7152) * pg + F32(0.0722) * pb
+        q = jnp.maximum(F32(0.05), F32(1.0) - lum)
+        r_rr, seed = _rng(seed)
+        killed = rr_active & (r_rr < q)
+        pr = jnp.where(killed, 0.0, jnp.where(rr_active, pr / (F32(1.0) - q), pr))
+        pg = jnp.where(killed, 0.0, jnp.where(rr_active, pg / (F32(1.0) - q), pg))
+        pb = jnp.where(killed, 0.0, jnp.where(rr_active, pb / (F32(1.0) - q), pb))
+        done = done | killed
+
+        return dict(
+            depth=depth,
+            it=s["it"] + 1,
+            pos=(new_px, new_py, new_pz),
+            dir=(new_ddx, new_ddy, new_ddz),
+            medium=medium,
+            seed=seed,
+            ray_color=(rr, rg, rb),
+            pixel_color=(pr, pg, pb),
+            albedo=(ar, ag, ab),
+            normal=(nr, ng, nb),
+            needs_first=needs_first,
+            done=done,
+            scattered=scattered,
+            scatter_pos=scatter_pos,
+            scatter_factor=scatter_factor,
+            fog_color=(fcr, fcg, fcb),
+            fog_factor=fog_factor,
+        )
+
+    # iteration 0 (first-hit logic: clouds, stars, AOVs, scatter events) runs outside
+    # the loop; the loop body compiles lean
+    state = body(state, first=True)
+    out = jax.lax.while_loop(cond, lambda s: body(s, first=False), state)
+
+    pr, pg, pb = out["pixel_color"]
+    fcr, fcg, fcb = out["fog_color"]
+    ff = out["fog_factor"]
+    pr = pr + (fcr - pr) * ff
+    pg = pg + (fcg - pg) * ff
+    pb = pb + (fcb - pb) * ff
+
+    color = jnp.stack([pr, pg, pb], axis=-1)
+    albedo = jnp.stack(out["albedo"], axis=-1)
+    normal = jnp.stack(out["normal"], axis=-1)
+    return color, albedo, normal
+
+
+def accumulate(fbs: FrameBuffers, color, albedo, normal, frame_id) -> FrameBuffers:
+    """Running-average accumulation keyed by frame id (raygen:697-709)."""
+    fid = jnp.asarray(frame_id, F32)
+    mult = F32(1.0) / (fid + F32(1.0))
+    return FrameBuffers(
+        color=(color + fid * fbs.color) * mult,
+        albedo=(albedo + fid * fbs.albedo) * mult,
+        normal=(normal + fid * fbs.normal) * mult,
+    )

@@ -1,0 +1,112 @@
+"""Pipeline orchestration: compose the generation stages over chunk areas.
+
+The array-world equivalent of the reference's per-stage batching in Terrain::tick
+(reference behavior: /root/reference/src/terrain/terrain.cpp:587-960 — every stage
+call batches all ready chunks into one launch).  Here a "batch" is a leading array
+dimension; the streaming scheduler (scheduler.py) assembles batches per frame, while
+``generate_area`` below generates a static rectangular area in one go (used by the
+static-scene benchmarks and the demo).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import caves as caves_mod
+from . import erosion, fill, heightfield, layers
+
+I32 = np.int32
+
+
+def _chunk_positions(cx0: int, cz0: int, ncx: int, ncz: int) -> np.ndarray:
+    pos = np.empty((ncz, ncx, 2), I32)
+    for iz in range(ncz):
+        for ix in range(ncx):
+            pos[iz, ix] = ((cx0 + ix) * 16, (cz0 + iz) * 16)
+    return pos.reshape(-1, 2)
+
+
+def generate_area(
+    cx0: int,
+    cz0: int,
+    ncx: int,
+    ncz: int,
+    erode: bool = False,
+    fill_batch: int = 16,
+):
+    """Generate a ``ncx × ncz``-chunk area (chunk coords origin (cx0, cz0)).
+
+    Runs heightfield (with a 1-chunk halo), layers, optional zone erosion (only when
+    the area is a full 24×24 zone grid), caves and fill.  Feature placement composes
+    separately (terrain.features).
+
+    Returns dict with 'blocks' [ncz, ncx, 16, 16, 384] u8 and intermediates.
+    """
+    # 1. heightfield over area + halo
+    hx, hz = ncx + 2, ncz + 2
+    pos_h = jnp.asarray(_chunk_positions(cx0 - 1, cz0 - 1, hx, hz))
+    hf, weights = heightfield.generate_heightfield(pos_h)
+    hf_grid = np.asarray(hf).reshape(hz, hx, 16, 16)
+    w_grid = np.asarray(weights).reshape(hz, hx, 24, 16, 16)
+
+    # 2. gather 18×18 heightfields for inner chunks
+    full = hf_grid.transpose(0, 2, 1, 3).reshape(hz * 16, hx * 16)
+    gathered = np.empty((ncz * ncx, 18, 18), np.float32)
+    for iz in range(ncz):
+        for ix in range(ncx):
+            z0 = (iz + 1) * 16 - 1
+            x0 = (ix + 1) * 16 - 1
+            gathered[iz * ncx + ix] = full[z0 : z0 + 18, x0 : x0 + 18]
+
+    pos_in = jnp.asarray(_chunk_positions(cx0, cz0, ncx, ncz))
+    w_in = jnp.asarray(
+        w_grid[1 : 1 + ncz, 1 : 1 + ncx].reshape(ncz * ncx, 24, 16, 16)
+    )
+    hf_in = jnp.asarray(
+        hf_grid[1 : 1 + ncz, 1 : 1 + ncx].reshape(ncz * ncx, 16, 16)
+    )
+
+    # 3. layers
+    ls = layers.generate_layers(jnp.asarray(gathered), w_in, pos_in)
+
+    # 4. optional zone erosion (full 24×24 grid only)
+    if erode:
+        if (ncx, ncz) != (erosion.GRID_CHUNKS, erosion.GRID_CHUNKS):
+            raise ValueError("erode=True requires a 24x24-chunk area (one full zone grid)")
+        lg = np.asarray(ls).reshape(ncz, ncx, 20, 16, 16)
+        g = erosion.gather_zone_layers(jnp.asarray(lg), jnp.asarray(hf_grid[1:-1, 1:-1]))
+        eroded = erosion.erode_zone(g)
+        core = jnp.asarray(lg[6:18, 6:18])
+        updated = erosion.scatter_zone_layers(core, eroded)
+        lg[6:18, 6:18] = np.asarray(updated)
+        ls = jnp.asarray(lg.reshape(ncz * ncx, 20, 16, 16))
+
+    ls = layers.fix_backward_stratified(ls)
+
+    # 5. caves
+    cv = caves_mod.generate_caves(hf_in, w_in, pos_in)
+
+    # 6. fill, in batches to bound peak memory
+    n = ncz * ncx
+    blocks_np = np.empty((n, 16, 16, 384), np.uint8)
+    for b0 in range(0, n, fill_batch):
+        b1 = min(b0 + fill_batch, n)
+        # pad the final slice to the full batch size so only one program is compiled
+        pad = fill_batch - (b1 - b0)
+        sl = lambda a: jnp.concatenate([a[b0:b1], a[b1 - pad : b1]], 0) if pad else a[b0:b1]
+        out = np.asarray(
+            fill.fill_chunks(
+                sl(hf_in), sl(w_in), sl(ls), sl(cv["starts"]), sl(cv["ends"]), sl(pos_in)
+            )
+        )
+        blocks_np[b0:b1] = out[: b1 - b0]
+
+    return {
+        "blocks": blocks_np.reshape(ncz, ncx, 16, 16, 384),
+        "heightfield": hf_in,
+        "biome_weights": w_in,
+        "layers": ls,
+        "caves": cv,
+        "chunk_pos": pos_in,
+    }

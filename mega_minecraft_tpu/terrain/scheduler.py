@@ -1,0 +1,463 @@
+"""Streaming terrain scheduler: chunk slot table, state machine, action-time budget.
+
+TPU-native equivalent of the reference's Terrain class (reference behavior:
+/root/reference/src/terrain/terrain.cpp — zone/chunk hash maps, spiral scan of the
+chunk window around the player, per-state work queues drained latest-pipeline-stage
+first under an action-time budget (500/frame, 30 000/s; per-stage costs
+terrain.cpp:65-83), zone erosion readiness over the 24×24 gathered grid, far-chunk
+eviction; chunk state machine /root/reference/src/terrain/chunk.hpp:18-32).
+
+Design: chunks are slots in fixed-capacity device-resident arrays — "a chunk" is an
+index, not an object.  Stage executors assemble padded fixed-size batches and call the
+jitted stage functions, so streaming never recompiles; all stage I/O stays in HBM.
+Neighborhood-readiness checks (the reference's flood fills) become state-array tests
+over the host-side mirror of the state machine.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..world import biomes as bio
+from . import caves as caves_mod
+from . import erosion, fill, gather, heightfield, layers
+
+I16 = np.int16
+I32 = np.int32
+
+
+class ChunkState(enum.IntEnum):
+    EMPTY = 0
+    HAS_HEIGHTFIELD = 1
+    NEEDS_LAYERS = 2
+    HAS_LAYERS = 3
+    NEEDS_EROSION = 4
+    NEEDS_CAVES = 5
+    NEEDS_FEATURE_PLACEMENTS = 6
+    NEEDS_GATHER_FEATURE_PLACEMENTS = 7
+    READY_TO_FILL = 8
+    FILLED = 9
+    NEEDS_VBOS = 10
+    DRAWABLE = 11
+
+
+# scheduler constants (terrain.cpp:65-83)
+CHUNK_VBOS_GEN_RADIUS = 16
+ZONE_SIZE = 12
+CHUNK_MAX_GEN_RADIUS = CHUNK_VBOS_GEN_RADIUS + ZONE_SIZE * 2
+MAX_ACTION_TIME_PER_FRAME = 500
+TOTAL_ACTION_TIME_PER_SECOND = 60 * MAX_ACTION_TIME_PER_FRAME
+ACTION_TIME = {
+    "heightfield": 3,
+    "gather_heightfield": 2,
+    "layers": 5,
+    "erode_zone": MAX_ACTION_TIME_PER_FRAME,
+    "caves": 8,
+    "feature_placements": 3,
+    "gather_feature_placements": 5,
+    "fill": 8,
+    "vbos": MAX_ACTION_TIME_PER_FRAME // 3,
+}
+
+STAGE_BATCH = 16  # chunks per jitted stage call (padded)
+
+
+def generate_spiral() -> np.ndarray:
+    """Spiral scan offsets (terrain.cpp:220-252)."""
+    out = []
+    x = z = 0
+    d = 1
+    m = 1
+    while True:
+        while 2 * x * d < m:
+            out.append((x, z))
+            x += d
+        if m > CHUNK_MAX_GEN_RADIUS * 2:
+            return np.array(out, I32)
+        while 2 * z * d < m:
+            out.append((x, z))
+            z += d
+        d = -d
+        m += 1
+
+
+@dataclass
+class Zone:
+    pos: tuple  # world chunk coords of zone corner (multiples of ZONE_SIZE)
+    queued_for_erosion: bool = False
+    try_erosion: bool = False
+
+
+@dataclass
+class TerrainState:
+    """Fixed-capacity chunk table: host state mirror + device data arrays."""
+
+    capacity: int = 8192
+
+    def __post_init__(self):
+        c = self.capacity
+        self.state = np.zeros(c, np.uint8)
+        self.chunk_pos = np.zeros((c, 2), I32)  # chunk coords
+        self.in_use = np.zeros(c, bool)
+        self.slot_of: dict = {}
+        self.free = list(range(c - 1, -1, -1))
+        # device-resident per-chunk data
+        self.d_heightfield = jnp.zeros((c, 16, 16), jnp.float32)
+        self.d_weights = jnp.zeros((c, 24, 16, 16), jnp.float32)
+        self.d_layers = jnp.zeros((c, 20, 16, 16), jnp.float32)
+        self.d_cave_starts = jnp.full((c, 16, 16, 32), 384, jnp.int16)
+        self.d_cave_ends = jnp.full((c, 16, 16, 32), 384, jnp.int16)
+        self.d_cave_bottom = jnp.zeros((c, 16, 16, 32), jnp.uint8)
+        self.d_cave_top = jnp.zeros((c, 16, 16, 32), jnp.uint8)
+        self.d_blocks = jnp.zeros((c, 16, 16, 384), jnp.uint8)
+
+    def alloc(self, pos) -> int:
+        slot = self.free.pop()
+        self.slot_of[pos] = slot
+        self.state[slot] = int(ChunkState.EMPTY)
+        self.chunk_pos[slot] = pos
+        self.in_use[slot] = True
+        return slot
+
+    def release(self, pos):
+        slot = self.slot_of.pop(pos)
+        self.in_use[slot] = False
+        self.state[slot] = int(ChunkState.EMPTY)
+        self.free.append(slot)
+
+    def slot(self, pos):
+        return self.slot_of.get(pos, -1)
+
+    def state_at(self, pos) -> int:
+        s = self.slot_of.get(pos)
+        return -1 if s is None else int(self.state[s])
+
+
+def _zone_pos(cx: int, cz: int):
+    return ((cx // ZONE_SIZE) * ZONE_SIZE, (cz // ZONE_SIZE) * ZONE_SIZE)
+
+
+class TerrainScheduler:
+    """Action-time budgeted streaming generator over the chunk slot table."""
+
+    def __init__(self, capacity: int = 8192, radius: int | None = None):
+        self.t = TerrainState(capacity)
+        self.spiral = generate_spiral()
+        if radius is not None:
+            keep = np.abs(self.spiral).max(axis=1) <= radius
+            self.spiral = self.spiral[keep]
+        self.zones: dict = {}
+        self.queues = {k: [] for k in ACTION_TIME}
+        self.action_time_left = 0.0
+        self.current_chunk = (0, 0)
+        self.last_chunk = None
+        self.needs_update = True
+        self.newly_filled: list = []
+        self._queued = set()  # (stage, pos) pairs to avoid duplicate queueing
+
+    # ------------------------------------------------------------------
+    # chunk window update (updateChunks / updateChunk)
+    # ------------------------------------------------------------------
+
+    def set_player_pos(self, x: float, z: float):
+        self.current_chunk = (int(np.floor(x / 16.0)), int(np.floor(z / 16.0)))
+
+    def _neighbors_state_ok(self, cx, cz, r, min_state) -> bool:
+        for dz in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if self.t.state_at((cx + dx, cz + dz)) < min_state:
+                    return False
+        return True
+
+    def _route_chunk(self, pos):
+        st = self.t.state_at(pos)
+        if st < 0:
+            return
+        key = None
+        s = ChunkState(st)
+        if s == ChunkState.EMPTY:
+            key = "heightfield"
+        elif s == ChunkState.HAS_HEIGHTFIELD:
+            if self._neighbors_state_ok(*pos, 1, int(ChunkState.HAS_HEIGHTFIELD)):
+                key = "gather_heightfield"
+        elif s == ChunkState.NEEDS_LAYERS:
+            key = "layers"
+        elif s == ChunkState.NEEDS_CAVES:
+            key = "caves"
+        elif s == ChunkState.NEEDS_FEATURE_PLACEMENTS:
+            key = "feature_placements"
+        elif s == ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS:
+            if self._neighbors_state_ok(*pos, 3, int(ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS)):
+                key = "gather_feature_placements"
+        elif s == ChunkState.READY_TO_FILL:
+            key = "fill"
+        elif s == ChunkState.NEEDS_VBOS:
+            dist = max(abs(pos[0] - self.current_chunk[0]), abs(pos[1] - self.current_chunk[1]))
+            if dist <= CHUNK_VBOS_GEN_RADIUS:
+                key = "vbos"
+        if key is not None and (key, pos) not in self._queued:
+            self.queues[key].append(pos)
+            self._queued.add((key, pos))
+
+    def update_chunks(self):
+        ccx, ccz = self.current_chunk
+        for dx, dz in self.spiral:
+            pos = (int(ccx + dx), int(ccz + dz))
+            if pos not in self.t.slot_of:
+                self.t.alloc(pos)
+                zp = _zone_pos(*pos)
+                if zp not in self.zones:
+                    self.zones[zp] = Zone(pos=zp)
+            self._route_chunk(pos)
+
+    # ------------------------------------------------------------------
+    # zone erosion readiness (updateZones / isZoneReadyForErosion)
+    # ------------------------------------------------------------------
+
+    def _zone_ready_for_erosion(self, zone: Zone) -> bool:
+        zx, zz = zone.pos
+        # full 24×24 gathered grid (12×12 core + 6-chunk halo) must be >= HAS_LAYERS
+        for dz in range(-ZONE_SIZE // 2, ZONE_SIZE + ZONE_SIZE // 2):
+            for dx in range(-ZONE_SIZE // 2, ZONE_SIZE + ZONE_SIZE // 2):
+                if self.t.state_at((zx + dx, zz + dz)) < int(ChunkState.HAS_LAYERS):
+                    return False
+        return True
+
+    def update_zones(self):
+        for zone in self.zones.values():
+            if zone.try_erosion and not zone.queued_for_erosion:
+                zone.try_erosion = False
+                if self._zone_ready_for_erosion(zone):
+                    zone.queued_for_erosion = True
+                    self.queues["erode_zone"].append(zone.pos)
+
+    # ------------------------------------------------------------------
+    # stage executors — padded fixed-size batched calls into the jitted stages
+    # ------------------------------------------------------------------
+
+    def _pop_batch(self, key, cost) -> list:
+        batch = []
+        q = self.queues[key]
+        while q and self.action_time_left >= cost and len(batch) < STAGE_BATCH:
+            pos = q.pop(0)
+            self._queued.discard((key, pos))
+            batch.append(pos)
+            self.action_time_left -= cost
+            self.needs_update = True
+        return batch
+
+    def _slots(self, batch):
+        return np.array([self.t.slot_of[p] for p in batch], I32)
+
+    @staticmethod
+    def _pad(arr, n):
+        if len(arr) == n:
+            return arr
+        return np.concatenate([arr, np.repeat(arr[-1:], n - len(arr), axis=0)])
+
+    def _exec_heightfield(self):
+        batch = self._pop_batch("heightfield", ACTION_TIME["heightfield"])
+        if not batch:
+            return
+        slots = self._slots(batch)
+        pos = np.array(batch, I32) * 16
+        pos_p = jnp.asarray(self._pad(pos, STAGE_BATCH))
+        hf, w = heightfield.generate_heightfield(pos_p)
+        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
+        self.t.d_heightfield = self.t.d_heightfield.at[sl].set(hf)
+        self.t.d_weights = self.t.d_weights.at[sl].set(w)
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.HAS_HEIGHTFIELD)
+
+    def _exec_gather_heightfield(self):
+        batch = self._pop_batch("gather_heightfield", ACTION_TIME["gather_heightfield"])
+        if not batch:
+            return
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_LAYERS)
+
+    def _exec_layers(self):
+        batch = self._pop_batch("layers", ACTION_TIME["layers"])
+        if not batch:
+            return
+        # gather 3×3 neighbor slots for the 18×18 halo'd heightfield
+        nslots = np.zeros((len(batch), 3, 3), I32)
+        for i, (cx, cz) in enumerate(batch):
+            for dz in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nslots[i, dz + 1, dx + 1] = self.t.slot_of[(cx + dx, cz + dz)]
+        nslots = jnp.asarray(self._pad(nslots, STAGE_BATCH))
+        slots = self._slots(batch)
+        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
+        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
+        hf_nbhd = self.t.d_heightfield[nslots]  # [B, 3, 3, 16, 16]
+        gathered = gather.gather_heightfields_batch(hf_nbhd)
+        ls = layers.generate_layers(gathered, self.t.d_weights[sl], pos)
+        self.t.d_layers = self.t.d_layers.at[sl].set(ls)
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.HAS_LAYERS)
+            zp = _zone_pos(*p)
+            # this chunk + the 3 zones toward its quadrant may now be erodible
+            # (addZonesToTryErosionSet, terrain.cpp:430-457)
+            self.zones[zp].try_erosion = True
+            lx, lz = p[0] - zp[0], p[1] - zp[1]
+            qx = -1 if lx < ZONE_SIZE // 2 else 1
+            qz = -1 if lz < ZONE_SIZE // 2 else 1
+            for dzp in ((qx, 0), (0, qz), (qx, qz)):
+                np_pos = (zp[0] + dzp[0] * ZONE_SIZE, zp[1] + dzp[1] * ZONE_SIZE)
+                if np_pos in self.zones and not self.zones[np_pos].queued_for_erosion:
+                    self.zones[np_pos].try_erosion = True
+
+    def _exec_erosion(self):
+        q = self.queues["erode_zone"]
+        cost = ACTION_TIME["erode_zone"]
+        if not q or self.action_time_left < cost:
+            return
+        zone_pos = q.pop(0)
+        self.action_time_left -= cost
+        self.needs_update = True
+        zx, zz = zone_pos
+        half = ZONE_SIZE // 2
+        gslots = np.zeros((24, 24), I32)
+        for iz in range(24):
+            for ix in range(24):
+                gslots[iz, ix] = self.t.slot_of[(zx + ix - half, zz + iz - half)]
+        gslots_j = jnp.asarray(gslots)
+        lg = self.t.d_layers[gslots_j]  # [24, 24, 20, 16, 16]
+        hfg = self.t.d_heightfield[gslots_j]
+        g = erosion.gather_zone_layers(lg, hfg)
+        eroded = erosion.erode_zone(g)
+        core_slots = gslots_j[half : half + ZONE_SIZE, half : half + ZONE_SIZE]
+        core = erosion.scatter_zone_layers(lg[half : half + ZONE_SIZE, half : half + ZONE_SIZE], eroded)
+        flat = core_slots.reshape(-1)
+        self.t.d_layers = self.t.d_layers.at[flat].set(core.reshape(-1, 20, 16, 16))
+        # fix backward-stratified layers for the zone's chunks (chunk.cu:717-720)
+        fixed = layers.fix_backward_stratified(self.t.d_layers[flat])
+        self.t.d_layers = self.t.d_layers.at[flat].set(fixed)
+        for iz in range(ZONE_SIZE):
+            for ix in range(ZONE_SIZE):
+                p = (zx + ix, zz + iz)
+                self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_CAVES)
+
+    def _exec_caves(self):
+        batch = self._pop_batch("caves", ACTION_TIME["caves"])
+        if not batch:
+            return
+        slots = self._slots(batch)
+        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
+        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
+        cv = caves_mod.generate_caves(self.t.d_heightfield[sl], self.t.d_weights[sl], pos)
+        self.t.d_cave_starts = self.t.d_cave_starts.at[sl].set(cv["starts"].astype(jnp.int16))
+        self.t.d_cave_ends = self.t.d_cave_ends.at[sl].set(cv["ends"].astype(jnp.int16))
+        self.t.d_cave_bottom = self.t.d_cave_bottom.at[sl].set(cv["bottom_biome"].astype(jnp.uint8))
+        self.t.d_cave_top = self.t.d_cave_top.at[sl].set(cv["top_biome"].astype(jnp.uint8))
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_FEATURE_PLACEMENTS)
+
+    def _exec_feature_placements(self):
+        batch = self._pop_batch("feature_placements", ACTION_TIME["feature_placements"])
+        if not batch:
+            return
+        # feature placement lands with terrain.features (round-1: no-op stage)
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS)
+
+    def _exec_gather_features(self):
+        batch = self._pop_batch("gather_feature_placements", ACTION_TIME["gather_feature_placements"])
+        if not batch:
+            return
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.READY_TO_FILL)
+
+    def _exec_fill(self):
+        batch = self._pop_batch("fill", ACTION_TIME["fill"])
+        if not batch:
+            return
+        slots = self._slots(batch)
+        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
+        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
+        blocks = fill.fill_chunks(
+            self.t.d_heightfield[sl],
+            self.t.d_weights[sl],
+            self.t.d_layers[sl],
+            self.t.d_cave_starts[sl].astype(jnp.int32),
+            self.t.d_cave_ends[sl].astype(jnp.int32),
+            pos,
+        )
+        self.t.d_blocks = self.t.d_blocks.at[sl].set(blocks)
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.FILLED)
+        # FILLED chunks whose 4-neighborhood is FILLED become NEEDS_VBOS
+        for p in batch:
+            for q in [p, (p[0] + 1, p[1]), (p[0] - 1, p[1]), (p[0], p[1] + 1), (p[0], p[1] - 1)]:
+                self._check_needs_vbos(q)
+
+    def _check_needs_vbos(self, pos):
+        if self.t.state_at(pos) != int(ChunkState.FILLED):
+            return
+        for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if self.t.state_at((pos[0] + d[0], pos[1] + d[1])) < int(ChunkState.FILLED):
+                return
+        self.t.state[self.t.slot_of[pos]] = int(ChunkState.NEEDS_VBOS)
+
+    def _exec_vbos(self):
+        batch = self._pop_batch("vbos", ACTION_TIME["vbos"])
+        if not batch:
+            return
+        for p in batch:
+            self.t.state[self.t.slot_of[p]] = int(ChunkState.DRAWABLE)
+            self.newly_filled.append(p)
+
+    # ------------------------------------------------------------------
+    # frame tick (Terrain::tick, terrain.cpp:587-960) — queues drain in reverse
+    # pipeline order so nearly-done chunks finish first
+    # ------------------------------------------------------------------
+
+    def tick(self, dt: float):
+        if self.current_chunk != self.last_chunk:
+            self.last_chunk = self.current_chunk
+            self.needs_update = True
+        if self.needs_update:
+            self.update_zones()
+            self.update_chunks()
+            self.needs_update = False
+
+        self.action_time_left = min(
+            self.action_time_left + TOTAL_ACTION_TIME_PER_SECOND * dt,
+            MAX_ACTION_TIME_PER_FRAME,
+        )
+
+        self._exec_vbos()
+        self._exec_fill()
+        self._exec_gather_features()
+        self._exec_feature_placements()
+        self._exec_caves()
+        self._exec_erosion()
+        self._exec_layers()
+        self._exec_gather_heightfield()
+        self._exec_heightfield()
+
+    def drain(self, max_frames: int = 100000, dt: float = 1.0 / 60.0) -> int:
+        """Run ticks until all queues are empty and no state changes remain
+        (DEBUG_TIME_CHUNK_FILL drain semantics).  Returns frames ticked."""
+        frames = 0
+        idle = 0
+        while idle < 3 and frames < max_frames:
+            before = bytes(self.t.state)
+            self.tick(dt)
+            frames += 1
+            busy = any(self.queues.values())
+            if not busy and bytes(self.t.state) == before:
+                idle += 1
+                self.needs_update = True
+            else:
+                idle = 0
+        return frames
+
+    def drawable_count(self) -> int:
+        return int((self.t.state == int(ChunkState.DRAWABLE)).sum())
