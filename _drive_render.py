@@ -24,7 +24,7 @@ if small:
 else:
     from mega_minecraft_tpu.terrain import pipeline
     t0 = time.time()
-    area = pipeline.generate_area(-2, -2, 5, 5)
+    area = pipeline.generate_area(-2, -2, 5, 5, features=True)
     print(f"generated 5x5 chunks in {time.time()-t0:.1f}s")
     scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -2, -2)
     W, H = 640, 360

@@ -1,0 +1,160 @@
+"""Engine: the main-loop equivalent — streaming generation + rendering + camera.
+
+TPU-native equivalent of the reference's app shell tick (reference behavior:
+/root/reference/src/main.cpp:661-717 ``tick(dt)`` — player move → terrain window
+update → terrain tick (budgeted generation) → camera upload → render; day-night clock
+/root/reference/src/rendering/optixRenderer.cpp:878-900; accumulation reset on camera
+change, optixRenderer.cpp:458-479).
+
+The D3D11/GLFW presentation layer is replaced by an offline frame writer (PNG/PPM) —
+presentation is I/O, not compute.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import brickmap, camera, sky, tonemap, tracer
+from ..terrain.scheduler import ChunkState, TerrainScheduler
+
+
+@dataclass
+class EngineConfig:
+    width: int = 640
+    height: int = 360
+    view_chunks: int = 33  # scene window side (chunkVbosGenRadius*2+1)
+    gen_radius: int | None = 8  # spiral clip radius (None = reference's full 40)
+    capacity: int = 8192
+    skip_erosion: bool = False
+    sun_speed: float = -0.025  # rad/s (optixRenderer.cpp:885)
+    sun_time0: float = 1.0
+
+
+class Engine:
+    """Streams terrain around the player and renders accumulated path-traced frames."""
+
+    def __init__(self, cfg: EngineConfig | None = None):
+        self.cfg = cfg or EngineConfig()
+        self.player = camera.Player()
+        self.scheduler = TerrainScheduler(
+            capacity=self.cfg.capacity,
+            radius=self.cfg.gen_radius,
+            skip_erosion=self.cfg.skip_erosion,
+        )
+        n = self.cfg.view_chunks
+        half = n // 2
+        self.window_origin = (-half, -half)  # chunk coords of scene corner
+        side = n * 16
+        self.scene = brickmap.Scene(
+            field=jnp.full((side, side, 384), -brickmap.DIST_CAP, jnp.int32),
+            origin=jnp.asarray(
+                np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
+            ),
+        )
+        self.time = 0.0
+        self.sun_time = self.cfg.sun_time0
+        self.frame_id = 0
+        self.fbs = tracer.init_framebuffers(self.cfg.height, self.cfg.width)
+        self._render = jax.jit(
+            tracer.render_sample, static_argnames=("height", "width")
+        )
+        self._pending_scene_updates: list = []
+
+    # ------------------------------------------------------------------
+
+    def _upload_new_chunks(self):
+        """Move newly DRAWABLE chunks into the scene volume (the accel-build analogue)."""
+        sched = self.scheduler
+        new = [
+            p
+            for p in sched.newly_filled
+            if self._in_window(p)
+        ]
+        sched.newly_filled.clear()
+        if not new:
+            return False
+        # batch spatially: update per chunk (regions merged by the DT resweep window)
+        t = sched.t
+        for p in new:
+            slot = t.slot_of[p]
+            blocks = t.d_blocks[slot]  # [16, 16, 384] u8 ([z, x, y])
+            z0 = (p[1] - self.window_origin[1]) * 16
+            x0 = (p[0] - self.window_origin[0]) * 16
+            self.scene = brickmap.update_chunks(self.scene, blocks, z0, x0)
+        return True
+
+    def _in_window(self, p):
+        ox, oz = self.window_origin
+        n = self.cfg.view_chunks
+        return ox <= p[0] < ox + n and oz <= p[1] < oz + n
+
+    # ------------------------------------------------------------------
+
+    def tick(self, dt: float, move=(0.0, 0.0, 0.0), rotate=(0.0, 0.0)):
+        """One frame: input → streaming → scene upload → render+accumulate."""
+        cam_changed = any(move) or any(rotate)
+        if any(move):
+            self.player.move(*move)
+        if any(rotate):
+            self.player.rotate(*rotate)
+
+        self.scheduler.set_player_pos(float(self.player.pos[0]), float(self.player.pos[2]))
+        self.scheduler.tick(dt)
+        scene_changed = self._upload_new_chunks()
+
+        self.time += dt
+        self.sun_time += dt * self.cfg.sun_speed
+
+        if cam_changed or scene_changed:
+            self.frame_id = 0  # reset accumulation (optixRenderer.cpp:475)
+
+        params = sky.sky_params(self.sun_time, self.time)
+        cam = self.player.camera_params(self.cfg.width, self.cfg.height)
+        c, a, n = self._render(
+            self.scene, cam, params, self.cfg.height, self.cfg.width, jnp.int32(self.frame_id)
+        )
+        self.fbs = tracer.accumulate(self.fbs, c, a, n, jnp.int32(self.frame_id))
+        self.frame_id += 1
+
+    def present(self) -> np.ndarray:
+        """[H, W, 3] uint8 tonemapped frame."""
+        return np.asarray(tonemap.present(self.fbs.color))
+
+    def drawable_chunks(self) -> int:
+        return self.scheduler.drawable_count()
+
+
+def flythrough(
+    n_frames: int = 60,
+    cfg: EngineConfig | None = None,
+    dt: float = 1.0 / 30.0,
+    forward_per_frame: float = 2.0,
+    warmup_drain: bool = True,
+):
+    """Scripted fly-through harness: drains initial generation, then flies forward
+    rendering each frame.  Returns timing/throughput stats."""
+    eng = Engine(cfg)
+    t0 = time.time()
+    frames = eng.scheduler.drain() if warmup_drain else 0
+    gen_s = time.time() - t0
+    eng._upload_new_chunks()
+
+    t0 = time.time()
+    for i in range(n_frames):
+        eng.tick(dt, move=(0.0, 0.0, forward_per_frame))
+    img = eng.present()  # forces sync
+    render_s = time.time() - t0
+    return {
+        "engine": eng,
+        "frames": n_frames,
+        "drain_frames": frames,
+        "initial_gen_seconds": gen_s,
+        "ms_per_frame": render_s / n_frames * 1e3,
+        "drawable_chunks": eng.drawable_chunks(),
+        "image": img,
+    }

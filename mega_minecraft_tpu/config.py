@@ -1,0 +1,94 @@
+"""Configuration: a real flag system replacing the reference's compile-time defines.
+
+The reference configures everything through ~25 scattered ``#define``s
+(/root/reference/src/defines.hpp:1-30, shaders/defines.glsl:1-21, chunk.cu:12-16,
+main.hpp:177-183, terrain.cpp:65-83) with no CLI/config files (SURVEY.md §5).  Here
+one dataclass tree holds them, overridable from environment variables
+(``MMTPU_<SECTION>_<FIELD>``) or keyword arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RenderConfig:
+    width: int = 1920  # main.hpp:180
+    height: int = 1080
+    max_ray_depth: int = 4  # basic_shaders.cu:39
+    num_samples: int = 1  # basic_shaders.cu:38
+    do_russian_roulette: bool = True  # basic_shaders.cu:36
+    fog_scatter: float = -0.005  # basic_shaders.cu:41
+    use_denoising: bool = True  # defines.hpp:11
+    use_upscaling: bool = False  # defines.hpp:12 (render half-res, upscale 2x)
+    reset_camera_on_scene_update: bool = True  # defines.hpp RESET_CAMERA_ON_BUILD_IAS
+    zoom_fov_deg: float = 20.0  # optixRenderer.cpp:429
+    fov_deg: float = 47.0  # optixRenderer.cpp:428
+
+
+@dataclass
+class TerrainConfig:
+    chunk_vbos_gen_radius: int = 16  # terrain.cpp:65
+    zone_size: int = 12  # terrain.hpp:17
+    max_action_time_per_frame: int = 500  # terrain.cpp:71
+    total_action_time_per_second: int = 30000  # terrain.cpp:72
+    skip_erosion: bool = False  # chunk.cu:12 DEBUG_SKIP_EROSION
+    biome_override: int | None = None  # chunk.cu:15 DEBUG_BIOME_OVERRIDE
+    cave_biome_override: int | None = None  # chunk.cu:16
+    sea_level: int = 128  # biome.hpp:10
+    lava_level: int = 8  # biome.hpp:11
+    capacity: int = 8192  # chunk slot table size (replaces chunk-id pool)
+    stage_batch: int = 16
+
+
+@dataclass
+class DebugConfig:
+    time_chunk_fill: bool = False  # terrain.cpp:61 DEBUG_TIME_CHUNK_FILL
+    chunk_color: bool = False  # defines.glsl chunk tint overlay
+    zone_color: bool = False
+    profile_trace: bool = False  # emit jax.profiler traces per frame
+
+
+@dataclass
+class Config:
+    render: RenderConfig = field(default_factory=RenderConfig)
+    terrain: TerrainConfig = field(default_factory=TerrainConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
+
+
+def _apply_env(cfg, prefix: str):
+    for f in dataclasses.fields(cfg):
+        sub = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(sub):
+            _apply_env(sub, f"{prefix}{f.name.upper()}_")
+            continue
+        key = f"{prefix}{f.name.upper()}"
+        if key in os.environ:
+            raw = os.environ[key]
+            t = type(sub) if sub is not None else str
+            if t is bool:
+                val = raw.lower() in ("1", "true", "yes", "on")
+            elif t is int:
+                val = int(raw)
+            elif t is float:
+                val = float(raw)
+            else:
+                val = raw
+            setattr(cfg, f.name, val)
+
+
+def load_config(**overrides) -> Config:
+    """Config from defaults <- MMTPU_* environment <- keyword overrides
+    (dots address nested fields: load_config(**{"render.width": 640}))."""
+    cfg = Config()
+    _apply_env(cfg, "MMTPU_")
+    for key, val in overrides.items():
+        obj = cfg
+        *path, leaf = key.split(".")
+        for part in path:
+            obj = getattr(obj, part)
+        setattr(obj, leaf, val)
+    return cfg

@@ -1,0 +1,211 @@
+"""Multi-chip sharding: device mesh, data-parallel generation, halo-exchanged erosion.
+
+The reference is single-GPU with no distributed layer (SURVEY.md §2 parallelism
+accounting); this module is the TPU-native scale-out it never had:
+
+- **Chunk batches are data-parallel**: generation stages are pure functions of world
+  coordinates, so heightfield/layers/caves/fill shard over the batch axis with zero
+  communication — each chunk's 18×18 heightfield halo is *recomputed* from noise
+  rather than exchanged (compute is cheaper than ICI for 1-block halos).
+- **Zone erosion is spatially sharded**: the 384×384-column relaxation shards by rows
+  with a 1-row halo exchanged per Jacobi iteration via ``lax.ppermute`` over ICI, and
+  the convergence flag is a ``psum`` — the whole variable-iteration loop stays on
+  device across all chips (the reference round-trips a flag to the host per iteration,
+  chunk.cu:687-704).
+- **Rendering shards by image rows**: rays are independent; the scene volume is
+  replicated (reads only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..terrain import erosion, fill, heightfield, layers
+from ..world import biomes as bio
+
+F32 = jnp.float32
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel generation: batch axis sharded, no collectives needed.
+# ---------------------------------------------------------------------------
+
+
+def _gen_chunk_batch(chunk_pos, height_fns=None):
+    """Self-contained per-chunk generation: heightfield (+halo recompute), layers,
+    fill with empty cave set.  chunk_pos [B, 2] world-block coords."""
+    B = chunk_pos.shape[0]
+    # halo'd heightfield: evaluate noise on the 18×18 grid directly
+    lx = jnp.arange(-1, 17, dtype=jnp.int32)
+    wx = (chunk_pos[:, 0, None, None] + lx[None, None, :]).astype(F32)
+    wz = (chunk_pos[:, 1, None, None] + lx[None, :, None]).astype(F32)
+    noise6 = heightfield.biome_noise(wx, wz)
+    weights18 = heightfield.biome_weights_from_noise(noise6)  # [B, 18, 18, 24]
+    h18 = jnp.zeros(wx.shape, F32)
+    for biome, fn in (height_fns or heightfield.HEIGHT_FNS).items():
+        w = weights18[..., int(biome)]
+        h18 = h18 + jnp.where(w > F32(0.0), w * fn(wx, wz), F32(0.0))
+
+    hf = h18[:, 1:17, 1:17]
+    weights = jnp.moveaxis(weights18[:, 1:17, 1:17], -1, 1)  # [B, 24, 16, 16]
+    ls = layers.generate_layers(h18, weights, chunk_pos)
+    ls = layers.fix_backward_stratified(ls)
+    empty_caves = jnp.full((B, 16, 16, 32), 384, jnp.int32)
+    blocks = fill.fill_chunks(hf, weights, ls, empty_caves, empty_caves, chunk_pos)
+    return blocks
+
+
+def dp_generate(mesh: Mesh, chunk_pos, height_fns=None):
+    """Generate a chunk batch sharded over the mesh's devices (batch axis)."""
+    spec = P(mesh.axis_names[0])
+    f = jax.jit(
+        partial(_gen_chunk_batch, height_fns=height_fns),
+        in_shardings=NamedSharding(mesh, spec),
+        out_shardings=NamedSharding(mesh, spec),
+    )
+    return f(chunk_pos)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded zone erosion with ICI halo exchange.
+# ---------------------------------------------------------------------------
+
+
+def _relax_sharded(start, end, tan_repose, axis: str, n: int):
+    """One Jacobi step on a row-sharded [rows_local, 384] grid with ppermute halos."""
+    idx = jax.lax.axis_index(axis)
+    send_down = [(i, (i + 1) % n) for i in range(n)]  # my last row -> next shard's top halo
+    send_up = [(i, (i - 1) % n) for i in range(n)]  # my first row -> prev shard's bottom halo
+
+    def with_halo(a):
+        top = jax.lax.ppermute(a[-1:], axis, send_down)
+        bot = jax.lax.ppermute(a[:1], axis, send_up)
+        # edge shards replicate their own border (reference clamps, chunk.cu:545)
+        top = jnp.where(idx == 0, a[:1], top)
+        bot = jnp.where(idx == n - 1, a[-1:], bot)
+        return jnp.concatenate([top, a, bot], axis=0)
+
+    sh = with_halo(start)
+    eh = with_halo(end)
+    rows = start.shape[0]
+    new_start = start
+    max_th = end - start
+    for i, (dx, dz) in enumerate(bio.DIR_VECS_2D):
+        nb_s = jnp.pad(sh, ((0, 0), (1, 1)), mode="edge")[
+            1 + dz : 1 + dz + rows, 1 + dx : 1 + dx + 384
+        ]
+        nb_e = jnp.pad(eh, ((0, 0), (1, 1)), mode="edge")[
+            1 + dz : 1 + dz + rows, 1 + dx : 1 + dx + 384
+        ]
+        dist = erosion.SQRT_2 if i % 2 == 1 else F32(1.0)
+        new_start = jnp.maximum(new_start, nb_s - tan_repose * dist)
+        max_th = jnp.maximum(max_th, nb_e - nb_s)
+    new_start = jnp.minimum(new_start, end)
+    wrote = max_th > F32(0.0)
+    changed = wrote & (new_start != start)
+    return jnp.where(wrote, new_start, start), changed
+
+
+def erode_zone_sharded(mesh: Mesh, gathered_layers):
+    """Row-sharded erode_zone: [9, 384, 384] with rows split over the mesh axis.
+
+    Per eroded layer, runs the Jacobi relaxation as a lax.while_loop whose
+    convergence flag is a cross-chip psum — zero host synchronization.
+    """
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+
+    def shard_fn(g):
+        # g: [9, rows_local, 384]
+        accum = jnp.zeros(g.shape[1:], F32)
+        for rel in range(bio.NUM_ERODED_MATERIALS - 1, -1, -1):
+            mat = bio.NUM_STRATIFIED_MATERIALS + rel
+            tan_repose = F32(float(bio.MATERIAL_AMPLITUDE_OR_TAN_REPOSE[mat]))
+            start = g[rel] + accum
+            end = g[rel + 1] + accum
+            new_start, changed = _relax_sharded(start, end, tan_repose, axis, n_shards)
+            accum = accum + jnp.where(changed, new_start - start, F32(0.0))
+            layer = jnp.where(_wrote_mask_sharded(start, end, axis, n_shards), new_start, g[rel])
+
+            def body(state):
+                layer, accum, _ = state
+                ns, ch = _relax_sharded(layer, g[rel + 1], tan_repose, axis, n_shards)
+                accum = accum + jnp.where(ch, ns - layer, F32(0.0))
+                layer2 = jnp.where(_wrote_mask_sharded(layer, g[rel + 1], axis, n_shards), ns, layer)
+                any_changed = jax.lax.psum(jnp.any(ch).astype(jnp.int32), axis) > 0
+                return layer2, accum, any_changed
+
+            def cond(state):
+                return state[2]
+
+            init_changed = jax.lax.psum(jnp.any(changed).astype(jnp.int32), axis) > 0
+            layer, accum, _ = jax.lax.while_loop(cond, body, (layer, accum, init_changed))
+            g = g.at[rel].set(layer)
+        return g
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None),
+    )
+    return jax.jit(f)(gathered_layers)
+
+
+def _wrote_mask_sharded(start, end, axis: str, n: int):
+    idx = jax.lax.axis_index(axis)
+    send_down = [(i, (i + 1) % n) for i in range(n)]
+    send_up = [(i, (i - 1) % n) for i in range(n)]
+    top = jax.lax.ppermute(start[-1:], axis, send_down)
+    bot = jax.lax.ppermute(start[:1], axis, send_up)
+    top = jnp.where(idx == 0, start[:1], top)
+    bot = jnp.where(idx == n - 1, start[-1:], bot)
+    sh = jnp.concatenate([top, start, bot], axis=0)
+    tope = jax.lax.ppermute(end[-1:], axis, send_down)
+    bote = jax.lax.ppermute(end[:1], axis, send_up)
+    tope = jnp.where(idx == 0, end[:1], tope)
+    bote = jnp.where(idx == n - 1, end[-1:], bote)
+    eh = jnp.concatenate([tope, end, bote], axis=0)
+    rows = start.shape[0]
+    max_th = end - start
+    for i, (dx, dz) in enumerate(bio.DIR_VECS_2D):
+        nb_s = jnp.pad(sh, ((0, 0), (1, 1)), mode="edge")[1 + dz : 1 + dz + rows, 1 + dx : 1 + dx + 384]
+        nb_e = jnp.pad(eh, ((0, 0), (1, 1)), mode="edge")[1 + dz : 1 + dz + rows, 1 + dx : 1 + dx + 384]
+        max_th = jnp.maximum(max_th, nb_e - nb_s)
+    return max_th > F32(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Image-row-sharded rendering: scene replicated, rays data-parallel.
+# ---------------------------------------------------------------------------
+
+
+def sharded_render(mesh: Mesh, scene, cam, params, height: int, width: int, frame_id):
+    """render_sample with the image rows sharded over the mesh axis."""
+    from ..render.tracer import render_sample
+
+    axis = mesh.axis_names[0]
+    f = jax.jit(
+        partial(render_sample, height=height, width=width),
+        in_shardings=(
+            NamedSharding(mesh, P()),  # scene replicated
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=NamedSharding(mesh, P(axis, None, None)),
+        static_argnames=(),
+    )
+    return f(scene, cam, params, frame_id)

@@ -1,1 +1,1 @@
-from . import brickmap, camera, materials, sky, tonemap, tracer  # noqa: F401
+from . import brickmap, camera, denoise, materials, meshing, sky, tonemap, tracer  # noqa: F401

@@ -1,0 +1,82 @@
+"""Denoiser: edge-avoiding à-trous wavelet filter with albedo/normal guides.
+
+TPU-native replacement for the OptiX AOV denoiser (reference behavior:
+/root/reference/src/rendering/optixRenderer.cpp:757-833,939-975 — HDR average-color
+denoise with albedo+normal guide layers, optionally 2× upscaling).  No neural
+denoiser runs on TPU here; instead the classic SVGF-style à-trous filter (Dammertz et
+al.) uses the same guide AOVs the reference feeds OptiX.  Temporal accumulation —
+the other half of the reference's convergence story — already lives in
+tracer.accumulate.
+
+Everything is 5-tap separable B3-spline convolutions + elementwise weights: pure
+VPU/convolution work that XLA maps well.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+_B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _shift2(a, dy: int, dx: int):
+    return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def atrous_denoise(
+    color,
+    albedo,
+    normal,
+    iterations: int = 4,
+    sigma_color: float = 4.0,
+    sigma_albedo: float = 0.25,
+    sigma_normal: float = 0.35,
+):
+    """[H, W, 3] HDR color + guides -> denoised color.
+
+    Weights: w = B3(tap) * exp(-|Δcolor|²/σc²) * exp(-|Δalbedo|²/σa²) *
+    exp(-|Δnormal|²/σn²), accumulated over the 5×5 à-trous pattern with stride 2^i.
+    """
+    c = jnp.asarray(color, F32)
+    alb = jnp.asarray(albedo, F32)
+    nrm = jnp.asarray(normal, F32)
+
+    for it in range(iterations):
+        stride = 1 << it
+        acc = jnp.zeros_like(c)
+        wsum = jnp.zeros(c.shape[:2], F32)
+        for ty in range(-2, 3):
+            for tx in range(-2, 3):
+                k = F32(_B3[ty + 2] * _B3[tx + 2])
+                dy, dx = ty * stride, tx * stride
+                cs = _shift2(c, dy, dx)
+                als = _shift2(alb, dy, dx)
+                ns = _shift2(nrm, dy, dx)
+                dc = jnp.sum((cs - c) ** 2, axis=-1)
+                da = jnp.sum((als - alb) ** 2, axis=-1)
+                dn = jnp.sum((ns - nrm) ** 2, axis=-1)
+                w = k * jnp.exp(
+                    -dc / F32(sigma_color**2)
+                    - da / F32(sigma_albedo**2)
+                    - dn / F32(sigma_normal**2)
+                )
+                acc = acc + cs * w[..., None]
+                wsum = wsum + w
+        c = acc / jnp.maximum(wsum, 1e-6)[..., None]
+    return c
+
+
+@jax.jit
+def upscale2x(img):
+    """Bilinear 2× upscale — the reference's USE_UPSCALING present path
+    (optixRenderer.cpp:462-466 renders at half res and denoise-upscales)."""
+    img = jnp.asarray(img, F32)
+    h, w, ch = img.shape
+    out = jax.image.resize(img, (h * 2, w * 2, ch), method="bilinear")
+    return out

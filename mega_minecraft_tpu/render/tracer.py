@@ -131,9 +131,13 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
         bx = jnp.where(dx > 0, vx.astype(F32) + orig[0] + 1, vx.astype(F32) + orig[0])
         by = jnp.where(dy > 0, vy.astype(F32) + orig[1] + 1, vy.astype(F32) + orig[1])
         bz = jnp.where(dz > 0, vz.astype(F32) + orig[2] + 1, vz.astype(F32) + orig[2])
-        t_exit = jnp.minimum(
-            jnp.minimum((bx - ox) * idx_, (by - oy) * idy_), (bz - oz) * idz_
-        )
+        # axis-parallel rays never exit through that axis (a degenerate boundary term
+        # would otherwise clamp t_exit to ~0 and stall the march)
+        big = F32(3e38)
+        tex = jnp.where(jnp.abs(dx) < F32(1e-12), big, (bx - ox) * idx_)
+        tey = jnp.where(jnp.abs(dy) < F32(1e-12), big, (by - oy) * idy_)
+        tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
+        t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
         skip = jnp.where(is_air_medium, (-val - 1).astype(F32), F32(0.0))
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)

@@ -1,0 +1,183 @@
+"""Stage 6: decorators — 1-2-block flora/crystals placed after fill.
+
+TPU-native equivalent of the reference's CPU decorator pass (reference behavior:
+/root/reference/src/terrain/chunk.cu:1634-1747 ``placeDecorators`` /
+``tryPlaceSingleDecorator``): per column, one weighted surface decorator plus per
+cave layer floor/ceiling decorators; checks the under-block whitelist, replaceable
+block (air/water), and an optional second block for tall plants.
+
+Design: the chunk's single sequential minstd engine makes columns *draw*-dependent but
+*write*-independent (all writes stay within their own column) — so the draw sequence
+runs as a ``lax.scan`` over the 256 columns (bit-exact masked LCG steps), and the
+placements then apply as vectorized masked scatters in the reference's write order.
+The reference's never-set placedBottom/placedTop flags (chunk.cu:1718-1719, an
+upstream quirk where later gens keep overwriting) are reproduced as-is.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hashes
+from ..world import biomes as bio
+from ..world import features_data as fd
+from ..world.blocks import NUM_NON_SOLID_BLOCKS, Block
+from .fill import random_biome
+
+F32 = jnp.float32
+I32 = jnp.int32
+U8 = jnp.uint8
+
+SEED_DECORATORS = 7589341  # chunk.cu:1681
+MAX_LAYERS = bio.MAX_CAVE_LAYERS_PER_COLUMN
+#: cave layers that can actually receive decorators (draws still cover all 32;
+#: columns with more than this many cave layers are astronomically rare)
+MAX_APPLY_LAYERS = 8
+
+
+def _gen_lists(table: dict, n_biomes: int):
+    max_gens = max((len(v) for v in table.values()), default=1) or 1
+    out = []
+    for b in range(n_biomes):
+        gens = table.get(b, [])
+        out.append(gens)
+    return out, max_gens
+
+
+@jax.jit
+def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
+                     cave_bottom_biome, chunk_pos1):
+    """Apply decorators to ONE chunk.
+
+    Args:
+      blocks [16,16,384] u8, heightfield [16,16] f32, biome_weights [24,16,16] f32,
+      cave_starts/ends [16,16,32] i32, cave_bottom_biome [16,16,32] i32,
+      chunk_pos1 [2] i32.
+    """
+    # ---- phase 1: the sequential draw scan (column-major z, x — chunk.cu:1684) ----
+    w_last = jnp.moveaxis(biome_weights, 0, -1).reshape(256, 24)
+    starts = cave_starts.reshape(256, MAX_LAYERS)
+    valid_layers = starts != I32(384)
+    # the reference's loop breaks at the first start==384 slot; layers after a
+    # sentinel never draw
+    seen_end = jnp.cumsum((starts == I32(384)).astype(I32), axis=-1) > 0
+    draws_layer = valid_layers & ~seen_end
+
+    state0 = hashes.seed_4(chunk_pos1[0], 0, chunk_pos1[1], SEED_DECORATORS)
+
+    def col_step(state, inputs):
+        draws_l = inputs
+        r_biome, state = hashes.lcg_u01(state)
+        r_surface, state = hashes.lcg_u01(state)
+        bottoms = []
+        tops = []
+        for li in range(MAX_LAYERS):
+            nxt = hashes.lcg_next(state)
+            rb = (nxt - jnp.uint32(1)).astype(F32) / F32(2147483645.0)
+            state = jnp.where(draws_l[li], nxt, state)
+            nxt2 = hashes.lcg_next(state)
+            rt = (nxt2 - jnp.uint32(1)).astype(F32) / F32(2147483645.0)
+            state = jnp.where(draws_l[li], nxt2, state)
+            bottoms.append(rb)
+            tops.append(rt)
+        return state, (r_biome, r_surface, jnp.stack(bottoms), jnp.stack(tops))
+
+    _, (r_biome, r_surface, r_bottom, r_top) = jax.lax.scan(
+        col_step, state0, draws_layer
+    )
+    # r_biome/r_surface: [256]; r_bottom/r_top: [256, 32]
+
+    biome = random_biome(w_last, r_biome)  # [256]
+
+    # ---- phase 2: vectorized application ----
+    lx = jnp.arange(16, dtype=I32)
+    col_z = jnp.repeat(lx, 16)  # column-major: z outer, x inner
+    col_x = jnp.tile(lx, 16)
+
+    ground_y = heightfield.reshape(256).astype(I32) + I32(1)
+    non_solid = I32(NUM_NON_SOLID_BLOCKS)
+
+    def read(blocks, y):
+        return blocks[col_z, col_x, jnp.clip(y, 0, 383)]
+
+    def try_place(blocks, active, y, gen):
+        (dec_block, _ch, under, replace, second, ceiling) = gen
+        y = jnp.asarray(y, I32)
+        cur = read(blocks, y)
+        ok = active & (y >= 0) & (y <= 383)
+        # possibleReplaceBlocks check (empty set never occurs in the tables)
+        rep_ok = jnp.zeros_like(ok)
+        for rb in replace:
+            rep_ok = rep_ok | (cur == U8(rb))
+        ok = ok & rep_ok
+        u_off = 1 if ceiling else -1
+        uy = y + u_off
+        ok = ok & (uy >= 0) & (uy <= 383)
+        ub = read(blocks, uy)
+        ok = ok & (ub.astype(I32) >= non_solid)
+        if under:
+            u_ok = jnp.zeros_like(ok)
+            for b in under:
+                u_ok = u_ok | (ub == U8(b))
+            ok = ok & u_ok
+        if second != int(Block.AIR):
+            oy = y - u_off
+            ok = ok & (oy >= 0) & (oy <= 383)
+            ob = read(blocks, oy)
+            o_ok = jnp.zeros_like(ok)
+            for rb in replace:
+                o_ok = o_ok | (ob == U8(rb))
+            ok = ok & o_ok
+            blocks = blocks.at[col_z, col_x, jnp.clip(oy, 0, 383)].set(
+                jnp.where(ok, U8(second), ob)
+            )
+        blocks = blocks.at[col_z, col_x, jnp.clip(y, 0, 383)].set(
+            jnp.where(ok, U8(dec_block), cur)
+        )
+        return blocks
+
+    # surface decorators: first gen whose cumulative chance crosses the draw
+    surf_lists, _ = _gen_lists(fd.BIOME_DECORATOR_GENS, bio.NUM_BIOMES)
+    for b, gens in enumerate(surf_lists):
+        if not gens:
+            continue
+        is_b = biome == I32(b)
+        rand = r_surface
+        chosen_before = jnp.zeros_like(is_b)
+        running = jnp.zeros_like(rand)
+        for gen in gens:
+            running = running + F32(gen[1])
+            choose = is_b & ~chosen_before & (rand < running)
+            blocks = try_place(blocks, choose, ground_y, gen)
+            chosen_before = chosen_before | choose
+
+    # cave decorators per layer: the reference's cumulative-crossing with never-set
+    # placed flags means every gen past the crossing point also places
+    cave_lists, _ = _gen_lists(fd.CAVE_DECORATOR_GENS, bio.NUM_CAVE_BIOMES)
+    starts_c = starts
+    ends_c = cave_ends.reshape(256, MAX_LAYERS)
+    cbb = cave_bottom_biome.reshape(256, MAX_LAYERS)
+    for li in range(MAX_APPLY_LAYERS):
+        layer_ok = draws_layer[:, li]
+        floor_y = starts_c[:, li] + I32(1)
+        ceil_y = ends_c[:, li]
+        for b, gens in enumerate(cave_lists):
+            if not gens:
+                continue
+            is_b = layer_ok & (cbb[:, li] == I32(b))
+            run_b = jnp.zeros((256,), F32)
+            run_t = jnp.zeros((256,), F32)
+            for gen in gens:
+                ceiling = gen[5]
+                if ceiling:
+                    run_t = run_t + F32(gen[1])
+                    choose = is_b & (r_top[:, li] < run_t)
+                    blocks = try_place(blocks, choose, ceil_y, gen)
+                else:
+                    run_b = run_b + F32(gen[1])
+                    choose = is_b & (r_bottom[:, li] < run_b)
+                    blocks = try_place(blocks, choose, floor_y, gen)
+
+    return blocks

@@ -1,0 +1,295 @@
+"""Stage 4b: feature placement — which features spawn where, batched over chunks.
+
+TPU-native equivalent of the reference's CPU placement pass (reference behavior:
+/root/reference/src/terrain/chunk.cu:997-1197 ``generateColumnFeaturePlacements`` /
+``isFeaturePos`` / ``tryGenerateCaveFeaturePlacement`` + the 49-offset gather).  The
+reference runs this on the CPU purely because of dynamic counts (README.md:178); here
+it is a masked fixed-capacity device pass: placements land in dense per-column grids,
+then compact into capped per-chunk lists with the reference's ordering.
+
+The per-column minstd draw sequence is replicated exactly: the engine state advances
+only for columns whose control flow would draw in the reference (masked lcg steps).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hashes
+from ..world import biomes as bio
+from ..world import features_data as fd
+from .fill import random_biome
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+SEED_COLUMN = 329828101  # chunk.cu:1053
+SEED_SURFACE_POS = 518721  # chunk.cu:1134
+SEED_CAVE_BOTTOM_F = 98239  # chunk.cu:1069
+SEED_CAVE_BOTTOM_L = 191702
+SEED_CAVE_TOP_F = 58321  # chunk.cu:1080
+SEED_CAVE_TOP_L = 871503
+
+MAX_LAYERS = bio.MAX_CAVE_LAYERS_PER_COLUMN
+
+#: per-chunk compacted capacity (reference gathers 2048/4096 over 49 chunks,
+#: ≈40/80 per chunk — biome.hpp:7-8 comments)
+CHUNK_FEATURE_CAP = 64
+CHUNK_CAVE_FEATURE_CAP = 128
+
+
+def is_feature_pos(wx, wz, cell, padding, seed):
+    """isFeaturePos (chunk.cu:999-1008): jittered-uniform-grid membership test.
+
+    wx/wz int arrays (world block coords), cell/padding int arrays, seed int array.
+    """
+    cellf = cell.astype(F32)
+    gx = jnp.floor(wx.astype(F32) / cellf) * cellf
+    gz = jnp.floor(wz.astype(F32) / cellf) * cellf
+    rx, rz = hashes.rand2_from3(gx, gz, seed.astype(F32))
+    internal = (cell - 2 * padding).astype(F32)
+    px = gx.astype(I32) + padding + jnp.floor(rx * internal).astype(I32)
+    pz = gz.astype(I32) + padding + jnp.floor(rz * internal).astype(I32)
+    return (wx == px) & (wz == pz)
+
+
+def _masked_u01(state, mask):
+    """Advance the LCG and draw ONLY where mask (reference control-flow parity)."""
+    nxt = hashes.lcg_next(state)
+    v = (nxt - jnp.uint32(1)).astype(F32) / F32(2147483645.0)
+    return v, jnp.where(mask, nxt, state)
+
+
+@jax.jit
+def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_ends,
+                        cave_bottom_biome, cave_top_biome, chunk_pos):
+    """Batched placement pass.
+
+    Args mirror the other stages ([B, ...]); cave biomes are int32 [B, 16, 16, 32].
+
+    Returns dict of dense per-column placement grids:
+      surface_feature [B,16,16] i32 (0 = none), surface_y i32, surface_replace bool,
+      cave_feature [B,16,16,32,2] i32 (slot 2: 0=bottom,1=top), cave_y, cave_height,
+      cave_replace.
+    """
+    B = heightfield.shape[0]
+    lx = jnp.arange(16, dtype=I32)
+    wx = jnp.broadcast_to(chunk_pos[:, 0, None, None] + lx[None, None, :], (B, 16, 16))
+    wz = jnp.broadcast_to(chunk_pos[:, 1, None, None] + lx[None, :, None], (B, 16, 16))
+    ground = heightfield.astype(I32)  # (int)height (chunk.cu:1048)
+
+    state = hashes.seed_3(wx, wz, SEED_COLUMN)
+
+    cft = fd.CAVE_FEATURE_GEN_TABLE
+    cave_count = jnp.asarray(cft["count"])
+    cave_feature_t = jnp.asarray(cft["feature"])
+    cave_cell_t = jnp.asarray(cft["cell"])
+    cave_pad_t = jnp.asarray(cft["padding"])
+    cave_chance_t = jnp.asarray(cft["chance"])
+    cave_minh_t = jnp.asarray(cft["min_height"])
+    cave_rep_t = jnp.asarray(cft["can_replace"])
+    cave_ceil_t = jnp.asarray(cft["from_ceiling"])
+    cave_lava_t = jnp.asarray(cft["in_lava"])
+    n_cave_gens = cft["max_gens"]
+
+    shape = (B, 16, 16)
+    broken = jnp.zeros(shape, bool)
+    surface_is_cave = jnp.zeros(shape, bool)
+
+    out_cave_feature = jnp.zeros((B, 16, 16, MAX_LAYERS, 2), I32)
+    out_cave_replace = jnp.zeros((B, 16, 16, MAX_LAYERS, 2), bool)
+
+    for li in range(MAX_LAYERS):
+        start = cave_starts[..., li].astype(I32)
+        end = cave_ends[..., li].astype(I32)
+        layer_h = end - start
+        stop_here = (start == I32(384)) | (ground <= start)
+        active = ~broken & ~stop_here
+
+        for top in (False, True):
+            # top features only when the layer has a ceiling (chunk.cu:1076)
+            layer_ok = active if not top else active & (end != I32(384))
+            biome = (cave_top_biome if top else cave_bottom_biome)[..., li]
+            f_seed = SEED_CAVE_TOP_F if top else SEED_CAVE_BOTTOM_F
+            l_seed = SEED_CAVE_TOP_L if top else SEED_CAVE_BOTTOM_L
+            placed = jnp.zeros(shape, bool)
+            for g in range(n_cave_gens):
+                in_loop = layer_ok & ~placed & (g < cave_count[biome])
+                r, state = _masked_u01(state, in_loop)
+                feat = cave_feature_t[biome, g]
+                gen_ceiling = cave_ceil_t[biome, g]
+                lava_ok = cave_lava_t[biome, g] | (
+                    jnp.where(top, end, start + I32(1)) > I32(bio.LAVA_LEVEL)
+                )
+                ok = (
+                    in_loop
+                    & (r < cave_chance_t[biome, g])
+                    & (gen_ceiling == top)
+                    & lava_ok
+                    & (layer_h >= cave_minh_t[biome, g])
+                )
+                pos_seed = feat * f_seed + li * l_seed
+                ok = ok & is_feature_pos(wx, wz, cave_cell_t[biome, g], cave_pad_t[biome, g], pos_seed)
+                slot = 1 if top else 0
+                out_cave_feature = out_cave_feature.at[..., li, slot].set(
+                    jnp.where(ok, feat, out_cave_feature[..., li, slot])
+                )
+                out_cave_replace = out_cave_replace.at[..., li, slot].set(
+                    jnp.where(ok, cave_rep_t[biome, g], out_cave_replace[..., li, slot])
+                )
+                placed = placed | ok
+
+        surface_here = active & (ground > start) & (ground <= end)
+        surface_is_cave = surface_is_cave | surface_here
+        broken = broken | stop_here | surface_here
+
+    # ---- surface features (chunk.cu:1095-1144) ----
+    sft = fd.FEATURE_GEN_TABLE
+    s_count = jnp.asarray(sft["count"])
+    s_feature = jnp.asarray(sft["feature"])
+    s_cell = jnp.asarray(sft["cell"])
+    s_pad = jnp.asarray(sft["padding"])
+    s_chance = jnp.asarray(sft["chance"])
+    s_rep = jnp.asarray(sft["can_replace"])
+    s_ntl = jnp.asarray(sft["n_top_layers"])
+    s_tl_mat = jnp.asarray(sft["top_layer_mat"])
+    s_tl_min = jnp.asarray(sft["top_layer_min"])
+    n_gens = sft["max_gens"]
+    max_tl = s_tl_mat.shape[-1]
+
+    do_surface = ~surface_is_cave
+    r_biome, state = _masked_u01(state, do_surface)
+    w_last = jnp.moveaxis(biome_weights, 1, -1)
+    biome = random_biome(w_last, r_biome)  # [B,16,16]
+
+    layer_starts = jnp.moveaxis(layers, 1, -1)  # [B,16,16,20]
+    height = heightfield
+
+    surface_feature = jnp.zeros(shape, I32)
+    surface_replace = jnp.zeros(shape, bool)
+    placed = jnp.zeros(shape, bool)
+    for g in range(n_gens):
+        in_loop = do_surface & ~placed & (g < s_count[biome])
+        r, state = _masked_u01(state, in_loop)
+        chance_ok = r < s_chance[biome, g]
+        # possibleTopLayers constraint (chunk.cu:1110-1132)
+        ntl = s_ntl[biome, g]
+        can_place = ntl == 0
+        for t in range(max_tl):
+            mat = s_tl_mat[biome, g, t]
+            l_start = jnp.take_along_axis(layer_starts, mat[..., None], axis=-1)[..., 0]
+            l_end = jnp.take_along_axis(layer_starts, (mat + 1)[..., None], axis=-1)[..., 0]
+            tl_ok = (
+                (l_start <= height)
+                & (l_end >= height)
+                & (jnp.minimum(l_end, height) - l_start >= s_tl_min[biome, g, t])
+            )
+            can_place = can_place | ((t < ntl) & tl_ok)
+        feat = s_feature[biome, g]
+        ok = (
+            in_loop
+            & chance_ok
+            & can_place
+            & is_feature_pos(wx, wz, s_cell[biome, g], s_pad[biome, g], feat * SEED_SURFACE_POS)
+        )
+        surface_feature = jnp.where(ok, feat, surface_feature)
+        surface_replace = jnp.where(ok, s_rep[biome, g], surface_replace)
+        placed = placed | ok
+
+    return {
+        "surface_feature": surface_feature,
+        "surface_y": ground + I32(1),
+        "surface_replace": surface_replace,
+        "cave_feature": out_cave_feature,
+        "cave_y": cave_starts.astype(I32) + I32(1),
+        "cave_height": (cave_ends - cave_starts).astype(I32),
+        "cave_replace": out_cave_replace,
+    }
+
+
+def compact_placements(pl, chunk_pos):
+    """Dense per-column grids -> capped per-chunk lists in the reference's order
+    (columns scanned z-major, cave layers bottom→top with bottom-before-top slots).
+
+    Returns dict of [B, CAP, ...] arrays with a 'feature' column of 0 past the end.
+    """
+    B = pl["surface_feature"].shape[0]
+    lx = jnp.arange(16, dtype=I32)
+    wx = chunk_pos[:, 0, None, None] + lx[None, None, :]
+    wz = chunk_pos[:, 1, None, None] + lx[None, :, None]
+
+    def compact(valid, order_key, cap, fields):
+        """valid [B, N] bool over flattened candidates; fields dict of [B, N]."""
+        key = jnp.where(valid, order_key, I32(2**30))
+        idx = jnp.argsort(key, axis=-1)[:, :cap]
+        out = {k: jnp.take_along_axis(v, idx, axis=-1) for k, v in fields.items()}
+        taken_valid = jnp.take_along_axis(valid, idx, axis=-1)
+        out["feature"] = jnp.where(taken_valid, out["feature"], I32(0))
+        return out
+
+    # surface: candidates = 256 columns
+    sf = pl["surface_feature"].reshape(B, 256)
+    s_fields = {
+        "feature": sf,
+        "x": jnp.broadcast_to(wx, (B, 16, 16)).reshape(B, 256),
+        "y": pl["surface_y"].reshape(B, 256),
+        "z": jnp.broadcast_to(wz, (B, 16, 16)).reshape(B, 256),
+        "replace": pl["surface_replace"].reshape(B, 256).astype(I32),
+    }
+    order = jnp.broadcast_to(jnp.arange(256, dtype=I32), (B, 256))
+    surface = compact(sf > 0, order, CHUNK_FEATURE_CAP, s_fields)
+
+    # cave: candidates = 256 cols × 32 layers × 2 slots
+    cf = pl["cave_feature"].reshape(B, 256 * MAX_LAYERS * 2)
+    cy = jnp.broadcast_to(pl["cave_y"][..., None], pl["cave_feature"].shape).reshape(B, -1)
+    ch = jnp.broadcast_to(pl["cave_height"][..., None], pl["cave_feature"].shape).reshape(B, -1)
+    cx = jnp.broadcast_to(wx[..., None, None], pl["cave_feature"].shape).reshape(B, -1)
+    cz = jnp.broadcast_to(wz[..., None, None], pl["cave_feature"].shape).reshape(B, -1)
+    c_fields = {
+        "feature": cf,
+        "x": cx,
+        "y": cy,
+        "z": cz,
+        "height": ch,
+        "replace": pl["cave_replace"].reshape(B, -1).astype(I32),
+    }
+    order = jnp.broadcast_to(
+        jnp.arange(256 * MAX_LAYERS * 2, dtype=I32), (B, 256 * MAX_LAYERS * 2)
+    )
+    cave = compact(cf > 0, order, CHUNK_CAVE_FEATURE_CAP, c_fields)
+    return {"surface": surface, "cave": cave}
+
+
+# 49-chunk gather offsets, reference order (chunk.cu:1158-1167)
+GATHER_OFFSETS = np.array(
+    [
+        (0, 0), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1),
+        (-1, 0), (-1, 1), (2, 0), (2, 1), (2, 2), (1, 2), (0, 2),
+        (-1, 2), (-2, 2), (-2, 1), (-2, 0), (-2, -1), (-2, -2),
+        (-1, -2), (0, -2), (1, -2), (2, -2), (2, -1),
+        (-3, -3), (-2, -3), (-1, -3), (0, -3), (1, -3), (2, -3), (3, -3),
+        (3, -2), (3, -1), (3, 0), (3, 1), (3, 2), (3, 3),
+        (2, 3), (1, 3), (0, 3), (-1, 3), (-2, 3), (-3, 3),
+        (-3, 2), (-3, 1), (-3, 0), (-3, -1), (-3, -2),
+    ],
+    np.int32,
+)
+
+GATHERED_FEATURE_CAP = 49 * CHUNK_FEATURE_CAP  # compacted below to the reference caps
+MAX_GATHERED_FEATURES = bio.MAX_GATHERED_FEATURES_PER_CHUNK
+MAX_GATHERED_CAVE_FEATURES = bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+
+
+def gather_from_neighborhood(per_chunk_lists, cap: int):
+    """Concatenate 49 per-chunk lists ([49, CAP, ...] dict) in offset order and
+    re-compact to `cap` entries. Returns dict of [cap] arrays."""
+    n, c = per_chunk_lists["feature"].shape[:2]
+    flat = {k: v.reshape(n * c, *v.shape[2:]) for k, v in per_chunk_lists.items()}
+    valid = flat["feature"] > 0
+    key = jnp.where(valid, jnp.arange(n * c, dtype=I32), I32(2**30))
+    idx = jnp.argsort(key)[:cap]
+    out = {k: v[idx] for k, v in flat.items()}
+    out["feature"] = jnp.where(valid[idx], out["feature"], I32(0))
+    return out

@@ -34,6 +34,7 @@ def generate_area(
     ncz: int,
     erode: bool = False,
     fill_batch: int = 16,
+    features: bool = False,
 ):
     """Generate a ``ncx × ncz``-chunk area (chunk coords origin (cx0, cz0)).
 
@@ -87,6 +88,18 @@ def generate_area(
     # 5. caves
     cv = caves_mod.generate_caves(hf_in, w_in, pos_in)
 
+    # 5b. feature placements (features within the area; the halo's placements are
+    # not generated here, so features near the area border may be missing — the
+    # streaming scheduler does the full 49-chunk gather)
+    if features:
+        from . import feature_placement as fp
+
+        pl = fp.generate_placements(
+            hf_in, w_in, ls, cv["starts"], cv["ends"],
+            cv["bottom_biome"], cv["top_biome"], pos_in,
+        )
+        placement_lists = fp.compact_placements(pl, pos_in)
+
     # 6. fill, in batches to bound peak memory
     n = ncz * ncx
     blocks_np = np.empty((n, 16, 16, 384), np.uint8)
@@ -101,6 +114,39 @@ def generate_area(
             )
         )
         blocks_np[b0:b1] = out[: b1 - b0]
+
+    # 6b. features + decorators per chunk
+    if features:
+        from . import decorators as decorators_mod
+        from . import feature_placement as fp
+        from . import features as features_mod
+        from ..world import biomes as bio2
+
+        sf = placement_lists["surface"]
+        cf = placement_lists["cave"]
+        for ci in range(n):
+            iz, ix = divmod(ci, ncx)
+            # neighborhood chunks inside the area only (border features clipped)
+            nb = []
+            for o in fp.GATHER_OFFSETS:
+                jx, jz = ix + int(o[0]), iz + int(o[1])
+                if 0 <= jx < ncx and 0 <= jz < ncz:
+                    nb.append(jz * ncx + jx)
+            nbi = jnp.asarray(np.array(nb, I32))
+            surf = fp.gather_from_neighborhood(
+                {k: v[nbi] for k, v in sf.items()}, bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+            )
+            cave = fp.gather_from_neighborhood(
+                {k: v[nbi] for k, v in cf.items()}, bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+            )
+            b1_ = features_mod.apply_features_chunk(
+                jnp.asarray(blocks_np[ci]), surf, cave, pos_in[ci], hf_in[ci]
+            )
+            b1_ = decorators_mod.place_decorators(
+                b1_, hf_in[ci], w_in[ci], cv["starts"][ci], cv["ends"][ci],
+                cv["bottom_biome"][ci], pos_in[ci],
+            )
+            blocks_np[ci] = np.asarray(b1_)
 
     return {
         "blocks": blocks_np.reshape(ncz, ncx, 16, 16, 384),

@@ -25,7 +25,10 @@ import numpy as np
 
 from ..world import biomes as bio
 from . import caves as caves_mod
+from . import decorators as decorators_mod
 from . import erosion, fill, gather, heightfield, layers
+from . import feature_placement as fp
+from . import features as features_mod
 
 I16 = np.int16
 I32 = np.int32
@@ -115,6 +118,10 @@ class TerrainState:
         self.d_cave_bottom = jnp.zeros((c, 16, 16, 32), jnp.uint8)
         self.d_cave_top = jnp.zeros((c, 16, 16, 32), jnp.uint8)
         self.d_blocks = jnp.zeros((c, 16, 16, 384), jnp.uint8)
+        # compacted per-chunk feature placement lists (feature 0 = none)
+        fc, cc = fp.CHUNK_FEATURE_CAP, fp.CHUNK_CAVE_FEATURE_CAP
+        self.d_sf = {k: jnp.zeros((c, fc), jnp.int32) for k in ("feature", "x", "y", "z", "replace")}
+        self.d_cf = {k: jnp.zeros((c, cc), jnp.int32) for k in ("feature", "x", "y", "z", "height", "replace")}
 
     def alloc(self, pos) -> int:
         slot = self.free.pop()
@@ -145,7 +152,16 @@ def _zone_pos(cx: int, cz: int):
 class TerrainScheduler:
     """Action-time budgeted streaming generator over the chunk slot table."""
 
-    def __init__(self, capacity: int = 8192, radius: int | None = None):
+    def __init__(
+        self,
+        capacity: int = 8192,
+        radius: int | None = None,
+        skip_erosion: bool = False,
+    ):
+        """skip_erosion: bypass the zone-erosion stage (the reference's
+        DEBUG_SKIP_EROSION, chunk.cu:12) — required when the generation radius is
+        clipped below a full 24x24 zone grid."""
+        self.skip_erosion = skip_erosion
         self.t = TerrainState(capacity)
         self.spiral = generate_spiral()
         if radius is not None:
@@ -298,7 +314,13 @@ class TerrainScheduler:
         hf_nbhd = self.t.d_heightfield[nslots]  # [B, 3, 3, 16, 16]
         gathered = gather.gather_heightfields_batch(hf_nbhd)
         ls = layers.generate_layers(gathered, self.t.d_weights[sl], pos)
+        if self.skip_erosion:
+            ls = layers.fix_backward_stratified(ls)
         self.t.d_layers = self.t.d_layers.at[sl].set(ls)
+        if self.skip_erosion:
+            for p in batch:
+                self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_CAVES)
+            return
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.HAS_LAYERS)
             zp = _zone_pos(*p)
@@ -363,7 +385,24 @@ class TerrainScheduler:
         batch = self._pop_batch("feature_placements", ACTION_TIME["feature_placements"])
         if not batch:
             return
-        # feature placement lands with terrain.features (round-1: no-op stage)
+        slots = self._slots(batch)
+        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
+        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
+        pl = fp.generate_placements(
+            self.t.d_heightfield[sl],
+            self.t.d_weights[sl],
+            self.t.d_layers[sl],
+            self.t.d_cave_starts[sl].astype(jnp.int32),
+            self.t.d_cave_ends[sl].astype(jnp.int32),
+            self.t.d_cave_bottom[sl].astype(jnp.int32),
+            self.t.d_cave_top[sl].astype(jnp.int32),
+            pos,
+        )
+        lists = fp.compact_placements(pl, pos)
+        for k in self.t.d_sf:
+            self.t.d_sf[k] = self.t.d_sf[k].at[sl].set(lists["surface"][k])
+        for k in self.t.d_cf:
+            self.t.d_cf[k] = self.t.d_cf[k].at[sl].set(lists["cave"][k])
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS)
 
@@ -389,7 +428,39 @@ class TerrainScheduler:
             self.t.d_cave_ends[sl].astype(jnp.int32),
             pos,
         )
-        self.t.d_blocks = self.t.d_blocks.at[sl].set(blocks)
+        # features: gather the 49-chunk neighborhood lists and apply per chunk
+        # (chunk.cu:1158-1196 gather + kernFill's placement loops), then decorators
+        for bi, p in enumerate(batch):
+            nb_slots = np.array(
+                [self.t.slot_of[(p[0] + int(o[0]), p[1] + int(o[1]))] for o in fp.GATHER_OFFSETS],
+                I32,
+            )
+            nsl = jnp.asarray(nb_slots)
+            surf = fp.gather_from_neighborhood(
+                {k: v[nsl] for k, v in self.t.d_sf.items()}, bio.MAX_GATHERED_FEATURES_PER_CHUNK
+            )
+            cave = fp.gather_from_neighborhood(
+                {k: v[nsl] for k, v in self.t.d_cf.items()}, bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+            )
+            slot = self.t.slot_of[p]
+            cpos = jnp.asarray(np.array(p, I32) * 16)
+            b1 = features_mod.apply_features_chunk(
+                blocks[bi], surf, cave, cpos, self.t.d_heightfield[slot]
+            )
+            b1 = decorators_mod.place_decorators(
+                b1,
+                self.t.d_heightfield[slot],
+                self.t.d_weights[slot],
+                self.t.d_cave_starts[slot].astype(jnp.int32),
+                self.t.d_cave_ends[slot].astype(jnp.int32),
+                self.t.d_cave_bottom[slot].astype(jnp.int32),
+                cpos,
+            )
+            blocks = blocks.at[bi].set(b1)
+        # write back only the real (non-padded) entries: padded duplicates carry
+        # un-feature-processed volumes for the same slot
+        n = len(batch)
+        self.t.d_blocks = self.t.d_blocks.at[sl[:n]].set(blocks[:n])
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.FILLED)
         # FILLED chunks whose 4-neighborhood is FILLED become NEEDS_VBOS
