@@ -21,7 +21,7 @@ REFERENCE_CHUNKS_PER_SEC = 1089.0 / 7.7  # timings.txt drain over filled chunks
 
 
 def main():
-    from mega_minecraft_tpu.terrain import caves, fill, gather, heightfield, layers
+    from mega_minecraft_tpu.terrain import pipeline
 
     n = 5  # 5x5 chunk zone (BASELINE.json config 2)
     pos_h = []
@@ -31,29 +31,8 @@ def main():
     pos_h = jnp.asarray(np.array(pos_h, np.int32))
 
     def run_once():
-        hf, w = heightfield.generate_heightfield(pos_h)
-        hf_grid = np.asarray(hf).reshape(n + 2, n + 2, 16, 16)
-        full = hf_grid.transpose(0, 2, 1, 3).reshape((n + 2) * 16, (n + 2) * 16)
-        gathered = np.empty((n * n, 18, 18), np.float32)
-        for iz in range(n):
-            for ix in range(n):
-                z0 = (iz + 1) * 16 - 1
-                x0 = (ix + 1) * 16 - 1
-                gathered[iz * n + ix] = full[z0 : z0 + 18, x0 : x0 + 18]
-        w_grid = np.asarray(w).reshape(n + 2, n + 2, 24, 16, 16)
-        idx = [
-            (iz + 1) * (n + 2) + ix + 1 for iz in range(n) for ix in range(n)
-        ]
-        w_in = w[jnp.asarray(idx)]
-        hf_in = hf[jnp.asarray(idx)]
-        pos_in = pos_h[jnp.asarray(idx)]
-        ls = layers.generate_layers(jnp.asarray(gathered), w_in, pos_in)
-        ls = layers.fix_backward_stratified(ls)
-        cv = caves.generate_caves(hf_in, w_in, pos_in)
-        blocks = fill.fill_chunks(
-            hf_in, w_in, ls, cv["starts"], cv["ends"], pos_in
-        )
-        return np.asarray(blocks)  # forces full sync
+        out = pipeline.generate_area_fused(pos_h, n, n)
+        return np.asarray(out["blocks"])  # forces full sync
 
     run_once()  # warm (compile)
     t0 = time.time()

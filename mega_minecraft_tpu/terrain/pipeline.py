@@ -19,6 +19,53 @@ from . import erosion, fill, heightfield, layers
 I32 = np.int32
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("ncx", "ncz"))
+def generate_area_fused(pos_halo, ncx: int, ncz: int):
+    """The full per-chunk pipeline (heightfield → layers → caves → fill) for an
+    ``ncx × ncz`` area as ONE jitted device program — no host round-trips between
+    stages, XLA overlaps everything.  (Erosion/features are separate passes.)
+
+    Args:
+      pos_halo: [(ncz+2)*(ncx+2), 2] i32 world-block chunk origins, row-major with
+        the 1-chunk halo included.
+    Returns dict of device arrays for the ncx*ncz inner chunks.
+    """
+    hz, hx = ncz + 2, ncx + 2
+    hf, w = heightfield.generate_heightfield(pos_halo)
+    hf_grid = hf.reshape(hz, hx, 16, 16)
+    full = jnp.transpose(hf_grid, (0, 2, 1, 3)).reshape(hz * 16, hx * 16)
+    gathered = jnp.stack(
+        [
+            full[(iz + 1) * 16 - 1 : (iz + 1) * 16 + 17, (ix + 1) * 16 - 1 : (ix + 1) * 16 + 17]
+            for iz in range(ncz)
+            for ix in range(ncx)
+        ]
+    )
+    inner = jnp.asarray(
+        np.array([(iz + 1) * hx + ix + 1 for iz in range(ncz) for ix in range(ncx)], I32)
+    )
+    w_in = w[inner]
+    hf_in = hf[inner]
+    pos_in = pos_halo[inner]
+    ls = layers.generate_layers(gathered, w_in, pos_in)
+    ls = layers.fix_backward_stratified(ls)
+    cv = caves_mod.generate_caves(hf_in, w_in, pos_in)
+    blocks = fill.fill_chunks(hf_in, w_in, ls, cv["starts"], cv["ends"], pos_in)
+    return {
+        "blocks": blocks,
+        "heightfield": hf_in,
+        "biome_weights": w_in,
+        "layers": ls,
+        "caves": cv,
+        "chunk_pos": pos_in,
+    }
+
+
 def _chunk_positions(cx0: int, cz0: int, ncx: int, ncz: int) -> np.ndarray:
     pos = np.empty((ncz, ncx, 2), I32)
     for iz in range(ncz):
