@@ -23,7 +23,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..terrain import erosion, fill, heightfield, layers
@@ -43,11 +46,10 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def _gen_chunk_batch(chunk_pos, height_fns=None):
-    """Self-contained per-chunk generation: heightfield (+halo recompute), layers,
-    fill with empty cave set.  chunk_pos [B, 2] world-block coords."""
-    B = chunk_pos.shape[0]
-    # halo'd heightfield: evaluate noise on the 18×18 grid directly
+def _gen_stage_layers(chunk_pos, height_fns=None):
+    """Heightfield (+halo recompute from noise) and layers for a chunk batch.
+    chunk_pos [B, 2] world-block coords → (hf [B,16,16], weights [B,24,16,16],
+    layers [B,20,16,16])."""
     lx = jnp.arange(-1, 17, dtype=jnp.int32)
     wx = (chunk_pos[:, 0, None, None] + lx[None, None, :]).astype(F32)
     wz = (chunk_pos[:, 1, None, None] + lx[None, :, None]).astype(F32)
@@ -62,20 +64,47 @@ def _gen_chunk_batch(chunk_pos, height_fns=None):
     weights = jnp.moveaxis(weights18[:, 1:17, 1:17], -1, 1)  # [B, 24, 16, 16]
     ls = layers.generate_layers(h18, weights, chunk_pos)
     ls = layers.fix_backward_stratified(ls)
-    empty_caves = jnp.full((B, 16, 16, 32), 384, jnp.int32)
-    blocks = fill.fill_chunks(hf, weights, ls, empty_caves, empty_caves, chunk_pos)
-    return blocks
+    return hf, weights, ls
 
 
-def dp_generate(mesh: Mesh, chunk_pos, height_fns=None):
-    """Generate a chunk batch sharded over the mesh's devices (batch axis)."""
-    spec = P(mesh.axis_names[0])
-    f = jax.jit(
-        partial(_gen_chunk_batch, height_fns=height_fns),
-        in_shardings=NamedSharding(mesh, spec),
-        out_shardings=NamedSharding(mesh, spec),
+def _gen_stage_fill(hf, weights, ls, chunk_pos):
+    B = chunk_pos.shape[0]
+    # The empty cave set must not be a compile-time constant: XLA:CPU's constant
+    # folding otherwise evaluates the whole cave-carve expression tree at compile
+    # time (minutes-to-hours of folding for a seconds-long program).
+    empty_caves = jax.lax.optimization_barrier(
+        jnp.full((B, 16, 16, 32), 384, jnp.int32)
     )
-    return f(chunk_pos)
+    return fill.fill_chunks(hf, weights, ls, empty_caves, empty_caves, chunk_pos)
+
+
+def _gen_chunk_batch(chunk_pos, height_fns=None):
+    """Self-contained per-chunk generation: heightfield (+halo recompute), layers,
+    fill with empty cave set.  chunk_pos [B, 2] world-block coords."""
+    return _gen_stage_fill(*_gen_stage_layers(chunk_pos, height_fns), chunk_pos)
+
+
+def dp_generate(mesh: Mesh, chunk_pos, height_fns=None, staged: bool | None = None):
+    """Generate a chunk batch sharded over the mesh's devices (batch axis).
+
+    ``staged=True`` compiles the layers and fill stages as separate XLA programs
+    (sharded intermediates stay on device); ``staged=None`` auto-selects staged on
+    the CPU backend, where whole-pipeline modules hit a pathological compile-time
+    blowup in XLA:CPU (hours vs seconds — observed on jax 0.8; TPU is unaffected).
+    """
+    if staged is None:
+        staged = jax.default_backend() == "cpu"
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    pos = jax.device_put(chunk_pos, spec)
+    if not staged:
+        f = jax.jit(
+            partial(_gen_chunk_batch, height_fns=height_fns),
+            in_shardings=spec,
+            out_shardings=spec,
+        )
+        return f(pos)
+    hf, weights, ls = jax.jit(partial(_gen_stage_layers, height_fns=height_fns))(pos)
+    return jax.jit(_gen_stage_fill)(hf, weights, ls, pos)
 
 
 # ---------------------------------------------------------------------------

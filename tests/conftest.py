@@ -11,4 +11,10 @@ _flag = "--xla_force_host_platform_device_count=8"
 _existing = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _existing:
     os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Some environments (e.g. the axon PJRT plugin) force a TPU platform via a
+# sitecustomize hook that overrides the env var; the config update wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

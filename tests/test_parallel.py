@@ -1,0 +1,60 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+determinism across shardings — same seed ⇒ identical outputs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mega_minecraft_tpu.parallel import sharding
+from mega_minecraft_tpu.terrain import erosion
+from mega_minecraft_tpu.world.biomes import Biome
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return sharding.make_mesh(8)
+
+
+class TestShardedErosion:
+    def test_matches_single_device(self, mesh):
+        g = np.zeros((9, 384, 384), np.float32)
+        hf = np.full((384, 384), 200.0, np.float32)
+        hf[:, 192:] = 150.0
+        hf[100:140, :] += 20.0
+        for l in range(8):
+            g[l] = hf - (8 - l) * 0.8
+        g[8] = hf
+        single = np.asarray(erosion.erode_zone(jnp.asarray(g)))
+        shard = np.asarray(sharding.erode_zone_sharded(mesh, jnp.asarray(g)))
+        # same least fixpoint; iteration schedules differ only transiently
+        np.testing.assert_allclose(shard, single, atol=2e-3)
+
+    def test_flat_zone_untouched(self, mesh):
+        g = np.zeros((9, 384, 384), np.float32)
+        for l in range(8):
+            g[l] = 100.0 + l
+        g[8] = 110.0
+        out = np.asarray(sharding.erode_zone_sharded(mesh, jnp.asarray(g)))
+        np.testing.assert_allclose(out, g, atol=1e-5)
+
+
+class TestDataParallelGeneration:
+    def test_matches_unsharded(self, mesh):
+        subset = {Biome.PLAINS: None, Biome.DESERT: None}
+        from mega_minecraft_tpu.terrain import heightfield
+
+        subset = {b: heightfield.HEIGHT_FNS[b] for b in subset}
+        pos = np.array([[i * 16, 0] for i in range(8)], np.int32)
+        sharded = np.asarray(
+            sharding.dp_generate(mesh, jnp.asarray(pos), height_fns=subset)
+        )
+        # unsharded reference: same staged programs on one device
+        p1 = jnp.asarray(pos)
+        hf, w, ls = jax.jit(
+            lambda p: sharding._gen_stage_layers(p, height_fns=subset)
+        )(p1)
+        unsharded = np.asarray(jax.jit(sharding._gen_stage_fill)(hf, w, ls, p1))
+        np.testing.assert_array_equal(sharded, unsharded)
