@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..render import brickmap, camera, sky, tonemap, tracer
+from ..render import brickmap, camera, denoise, sky, tonemap, tracer
 from ..terrain.scheduler import ChunkState, TerrainScheduler
+from ..utils import profiling
 
 
 @dataclass
@@ -33,6 +34,9 @@ class EngineConfig:
     skip_erosion: bool = False
     sun_speed: float = -0.025  # rad/s (optixRenderer.cpp:885)
     sun_time0: float = 1.0
+    use_denoising: bool = True  # reference USE_DENOISING (defines.hpp:11)
+    use_upscaling: bool = False  # reference USE_UPSCALING (defines.hpp:12):
+    # path-trace at half resolution, denoise, 2× upscale at present (~4× fewer rays)
 
 
 class Engine:
@@ -51,15 +55,24 @@ class Engine:
         self.window_origin = (-half, -half)  # chunk coords of scene corner
         side = n * 16
         self.scene = brickmap.Scene(
-            field=jnp.full((side, side, 384), -brickmap.DIST_CAP, jnp.int32),
+            field=jnp.full(
+                (side, side, 384),
+                brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP,
+                jnp.uint8,
+            ),
             origin=jnp.asarray(
                 np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
             ),
         )
         self.time = 0.0
         self.sun_time = self.cfg.sun_time0
+        self.time_paused = False
+        self.fps = profiling.FpsCounter()
         self.frame_id = 0
-        self.fbs = tracer.init_framebuffers(self.cfg.height, self.cfg.width)
+        # internal render resolution (half when upscaling, optixRenderer.cpp:462-466)
+        self.render_w = self.cfg.width // 2 if self.cfg.use_upscaling else self.cfg.width
+        self.render_h = self.cfg.height // 2 if self.cfg.use_upscaling else self.cfg.height
+        self.fbs = tracer.init_framebuffers(self.render_h, self.render_w)
         self._render = jax.jit(
             tracer.render_sample, static_argnames=("height", "width")
         )
@@ -95,6 +108,21 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _remove_far_chunks(self) -> bool:
+        """Clear destroyed-VBO chunks out of the scene volume (the destroyChunk
+        analogue: reference terrain.cpp:593-606 → optixRenderer.cpp destroyChunk)."""
+        sched = self.scheduler
+        gone = [p for p in sched.vbos_destroyed if self._in_window(p)]
+        sched.vbos_destroyed.clear()
+        if not gone:
+            return False
+        air = jnp.zeros((16, 16, 384), jnp.uint8)
+        for p in gone:
+            z0 = (p[1] - self.window_origin[1]) * 16
+            x0 = (p[0] - self.window_origin[0]) * 16
+            self.scene = brickmap.update_chunks(self.scene, air, z0, x0)
+        return True
+
     def tick(self, dt: float, move=(0.0, 0.0, 0.0), rotate=(0.0, 0.0)):
         """One frame: input → streaming → scene upload → render+accumulate."""
         cam_changed = any(move) or any(rotate)
@@ -104,29 +132,98 @@ class Engine:
             self.player.rotate(*rotate)
 
         self.scheduler.set_player_pos(float(self.player.pos[0]), float(self.player.pos[2]))
+        self.scheduler.destroy_far_vbos()
         self.scheduler.tick(dt)
-        scene_changed = self._upload_new_chunks()
+        scene_changed = self._remove_far_chunks()
+        scene_changed = self._upload_new_chunks() or scene_changed
 
         self.time += dt
-        self.sun_time += dt * self.cfg.sun_speed
+        if not self.time_paused:
+            self.sun_time += dt * self.cfg.sun_speed
+        self.fps.tick()
 
         if cam_changed or scene_changed:
             self.frame_id = 0  # reset accumulation (optixRenderer.cpp:475)
 
         params = sky.sky_params(self.sun_time, self.time)
-        cam = self.player.camera_params(self.cfg.width, self.cfg.height)
+        cam = self.player.camera_params(self.render_w, self.render_h)
         c, a, n = self._render(
-            self.scene, cam, params, self.cfg.height, self.cfg.width, jnp.int32(self.frame_id)
+            self.scene, cam, params, self.render_h, self.render_w, jnp.int32(self.frame_id)
         )
         self.fbs = tracer.accumulate(self.fbs, c, a, n, jnp.int32(self.frame_id))
         self.frame_id += 1
 
     def present(self) -> np.ndarray:
-        """[H, W, 3] uint8 tonemapped frame."""
-        return np.asarray(tonemap.present(self.fbs.color))
+        """[H, W, 3] uint8 tonemapped (denoised, optionally upscaled) frame."""
+        color = self.fbs.color
+        if self.cfg.use_denoising:
+            color = denoise.atrous_denoise(color, self.fbs.albedo, self.fbs.normal)
+        if self.cfg.use_upscaling:
+            color = denoise.upscale2x(color)
+        return np.asarray(tonemap.present(color))
 
     def drawable_chunks(self) -> int:
         return self.scheduler.drawable_count()
+
+    # -- reference renderer control API (OptixRenderer::setZoomed /
+    #    toggleTimePaused / addTime, optixRenderer.hpp:149-153) --------------
+
+    # -- checkpoint / resume (SURVEY.md §5): the world itself regenerates
+    #    deterministically from coordinates+seeds (the reference's persistence
+    #    model), so a snapshot is just camera + clocks + the loaded-chunk set ------
+
+    def save_checkpoint(self, path: str):
+        import json
+
+        state = {
+            "player": {
+                "pos": [float(v) for v in self.player.pos],
+                "theta": self.player.theta,
+                "phi": self.player.phi,
+                "zoomed": self.player.zoomed,
+            },
+            "time": self.time,
+            "sun_time": self.sun_time,
+            "time_paused": self.time_paused,
+            "chunks": sorted(
+                [list(map(int, p)) for p, s in self.scheduler.t.slot_of.items()]
+            ),
+        }
+        with open(path, "w") as f:
+            json.dump(state, f)
+
+    def load_checkpoint(self, path: str, regenerate: bool = True):
+        """Restore camera/clocks and (optionally) drain regeneration of the saved
+        chunk set — block content is recomputed, never stored."""
+        import json
+
+        with open(path) as f:
+            state = json.load(f)
+        p = state["player"]
+        self.player.pos = np.asarray(p["pos"], np.float32)
+        self.player.theta = p["theta"]
+        self.player.phi = p["phi"]
+        self.player.zoomed = p["zoomed"]
+        self.time = state["time"]
+        self.sun_time = state["sun_time"]
+        self.time_paused = state.get("time_paused", False)
+        self.frame_id = 0
+        self.scheduler.set_player_pos(float(self.player.pos[0]), float(self.player.pos[2]))
+        if regenerate:
+            self.scheduler.drain()
+            self._upload_new_chunks()
+
+    def set_zoomed(self, zoomed: bool):
+        if zoomed != self.player.zoomed:
+            self.player.zoomed = zoomed
+            self.frame_id = 0  # fov change invalidates accumulation
+
+    def toggle_time_paused(self):
+        self.time_paused = not self.time_paused
+
+    def add_time(self, seconds: float):
+        self.sun_time += seconds * self.cfg.sun_speed
+        self.frame_id = 0
 
 
 def flythrough(

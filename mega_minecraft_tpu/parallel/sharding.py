@@ -35,10 +35,19 @@ from ..world import biomes as bio
 F32 = jnp.float32
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
-    devs = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, axis: str = "d", platform: str | None = None
+) -> Mesh:
+    """Build a 1-D mesh over ``platform`` devices (default: the default backend).
+    ``platform='cpu'`` selects the virtual host devices used for sharding tests even
+    when a TPU is the default backend."""
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _mesh_platform(mesh: Mesh) -> str:
+    return mesh.devices.flat[0].platform
 
 
 # ---------------------------------------------------------------------------
@@ -89,11 +98,11 @@ def dp_generate(mesh: Mesh, chunk_pos, height_fns=None, staged: bool | None = No
 
     ``staged=True`` compiles the layers and fill stages as separate XLA programs
     (sharded intermediates stay on device); ``staged=None`` auto-selects staged on
-    the CPU backend, where whole-pipeline modules hit a pathological compile-time
+    CPU meshes, where whole-pipeline modules hit a pathological compile-time
     blowup in XLA:CPU (hours vs seconds — observed on jax 0.8; TPU is unaffected).
     """
     if staged is None:
-        staged = jax.default_backend() == "cpu"
+        staged = _mesh_platform(mesh) == "cpu"
     spec = NamedSharding(mesh, P(mesh.axis_names[0]))
     pos = jax.device_put(chunk_pos, spec)
     if not staged:

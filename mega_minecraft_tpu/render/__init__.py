@@ -1,1 +1,11 @@
-from . import brickmap, camera, denoise, materials, meshing, sky, tonemap, tracer  # noqa: F401
+from . import (  # noqa: F401
+    brickmap,
+    camera,
+    debug_renderer,
+    denoise,
+    materials,
+    meshing,
+    sky,
+    tonemap,
+    tracer,
+)

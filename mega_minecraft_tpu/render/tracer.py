@@ -33,7 +33,7 @@ import numpy as np
 from ..ops import hashes
 from ..world.blocks import Block
 from . import sky as sky_mod
-from .brickmap import Scene
+from .brickmap import EMPTY_BASE, Scene
 from .materials import (
     BLOCK_PROPS,
     MAT_IOR,
@@ -53,6 +53,10 @@ MAX_RAY_DEPTH = 4
 MAX_LOOP_ITERS = 7  # depth 4 + specular extensions
 MAX_TRACE_STEPS = 320
 FOG_SCATTER = -0.005
+# rays are terminated once their horizontal travel saturates the fog
+# (smoothstep(220, 300) -> 1, basic_shaders.cu fogFactor); bounds the straggler
+# tail that otherwise dominates the lock-stepped DDA loop
+FOG_FULL_DIST = 320.0
 AIR = int(Block.AIR)
 
 from ..world.blocks import SOLID as _SOLID_NP  # noqa: E402
@@ -74,7 +78,7 @@ class TraceResult(NamedTuple):
 
 
 def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
-    """Distance-field DDA from (o, d) in world space: ONE i32 gather per step; empty
+    """Distance-field DDA from (o, d) in world space: ONE u8 gather per step; empty
     space is skipped by the Chebyshev distance stored in the field (brickmap.py).
     medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
     All args [..] arrays."""
@@ -103,10 +107,15 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
     )
     t_start = jnp.maximum(t_in, F32(0.0)) + F32(1e-4)
     alive0 = (t_out > t_start) & (t_out > F32(0.0))
+    # fog-saturation cap: beyond FOG_FULL_DIST horizontal blocks the fog factor is 1
+    # and any hit is invisible — terminating there bounds grazing-ray step counts
+    horiz = jnp.sqrt(dx * dx + dz * dz)
+    t_out = jnp.minimum(t_out, t_start + F32(FOG_FULL_DIST) / jnp.maximum(horiz, F32(1e-3)))
 
     flat_field = scene.field.reshape(-1)
-    med_i = medium.astype(I32)
-    is_air_medium = med_i == I32(AIR)
+    med_u8 = medium.astype(U8)
+    is_air_medium = med_u8 == U8(AIR)
+    empty_base = U8(EMPTY_BASE)
 
     def body(state):
         t, alive, hit, hit_block, step = state
@@ -117,12 +126,13 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
         vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
         vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
 
-        val = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE gather
+        val = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (u8) gather
+        is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
 
-        # hit rule: in air, any solid (val>0); in a dense medium, anything that is
-        # not the medium itself — the first air voxel is the exit interface
-        new_hit = alive & jnp.where(is_air_medium, val > 0, val != med_i)
-        hit_block = jnp.where(new_hit, jnp.maximum(val, I32(0)).astype(U8), hit_block)
+        # hit rule: in air, any solid; in a dense medium, anything that is not the
+        # medium itself — the first non-medium voxel (air included) is the interface
+        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_u8)
+        hit_block = jnp.where(new_hit & is_solid, val, jnp.where(new_hit, U8(AIR), hit_block))
         hit = hit | new_hit
         alive = alive & ~new_hit
 
@@ -138,7 +148,9 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
         tey = jnp.where(jnp.abs(dy) < F32(1e-12), big, (by - oy) * idy_)
         tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
         t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
-        skip = jnp.where(is_air_medium, (-val - 1).astype(F32), F32(0.0))
+        skip = jnp.where(
+            is_air_medium, val.astype(F32) - F32(EMPTY_BASE), F32(0.0)
+        )  # = dist − 1 for empty voxels, < 0 (no-op) for solids
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)

@@ -1,8 +1,12 @@
-"""Test harness config: run all tests on CPU with 8 virtual devices.
+"""Test harness config.
 
-Multi-chip sharding (shard_map over a Mesh) is validated without a TPU pod via JAX's
-host-platform device-count override; the real-TPU path is exercised by bench.py and the
-driver's dryrun_multichip.  Must run before jax is imported anywhere.
+Two backends are used in one process:
+- Most tests run on the default backend — the attached TPU when present (XLA:CPU's
+  pass pipeline blows up superlinearly on this package's large stage graphs: a
+  75k-op program compiles in ~1 min on TPU vs >10 min on CPU), CPU otherwise.
+- Multi-chip sharding tests (test_parallel.py) always build their Mesh from 8
+  virtual CPU devices, which the XLA_FLAGS below provide regardless of the default
+  platform.  Must run before jax initializes its backends.
 """
 
 import os
@@ -11,10 +15,18 @@ _flag = "--xla_force_host_platform_device_count=8"
 _existing = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _existing:
     os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
-# Some environments (e.g. the axon PJRT plugin) force a TPU platform via a
-# sitecustomize hook that overrides the env var; the config update wins.
-import jax  # noqa: E402
+# Opt-in override for machines where the TPU plugin exists but is unusable:
+# MMTPU_TEST_PLATFORM=cpu forces everything onto the virtual-CPU backend.
+_force = os.environ.get("MMTPU_TEST_PLATFORM")
+if _force:
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", _force)
+
+# Persistent XLA compile cache: stage programs are large; repeat suite runs reuse
+# compiled binaries instead of paying minutes of XLA time again.
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -14,8 +14,9 @@ from mega_minecraft_tpu.world.biomes import Biome
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    return sharding.make_mesh(8)
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "conftest must provide 8 virtual CPU devices"
+    return sharding.make_mesh(8, platform="cpu")
 
 
 class TestShardedErosion:
@@ -51,8 +52,9 @@ class TestDataParallelGeneration:
         sharded = np.asarray(
             sharding.dp_generate(mesh, jnp.asarray(pos), height_fns=subset)
         )
-        # unsharded reference: same staged programs on one device
-        p1 = jnp.asarray(pos)
+        # unsharded reference: same staged programs on ONE CPU device (the default
+        # backend may be a TPU whose transcendentals differ bit-wise from CPU)
+        p1 = jax.device_put(jnp.asarray(pos), jax.devices("cpu")[0])
         hf, w, ls = jax.jit(
             lambda p: sharding._gen_stage_layers(p, height_fns=subset)
         )(p1)

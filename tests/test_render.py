@@ -152,3 +152,33 @@ class TestPost:
         out = np.asarray(denoise.atrous_denoise(jnp.asarray(base), albedo, normal))
         # the hard edge survives (guide-weighted filter)
         assert out[:, 14].mean() < 0.2 and out[:, 18].mean() > 0.8
+
+
+class TestDebugRenderer:
+    def test_direct_light_frame(self, box_scene):
+        """One deterministic debug frame: finite, sky above horizon brighter than
+        shadowed ground, identical across calls (it is noise-free)."""
+        from mega_minecraft_tpu.render import debug_renderer
+
+        _, scene = box_scene
+        player = camera.Player(pos=np.array([16.0, 140.0, -8.0], np.float32), phi=-0.5)
+        cam = player.camera_params(64, 48)
+        params = sky.sky_params(1.0, 0.0)
+        img1 = np.asarray(debug_renderer.render_debug(scene, cam, params, 48, 64))
+        img2 = np.asarray(debug_renderer.render_debug(scene, cam, params, 48, 64))
+        assert np.isfinite(img1).all()
+        assert img1.min() >= 0.0
+        np.testing.assert_array_equal(img1, img2)
+
+    def test_tint_changes_output(self, box_scene):
+        from mega_minecraft_tpu.render import debug_renderer
+
+        _, scene = box_scene
+        player = camera.Player(pos=np.array([16.0, 140.0, -8.0], np.float32), phi=-0.9)
+        cam = player.camera_params(64, 48)
+        params = sky.sky_params(1.0, 0.0)
+        plain = np.asarray(debug_renderer.render_debug(scene, cam, params, 48, 64))
+        tinted = np.asarray(
+            debug_renderer.render_debug(scene, cam, params, 48, 64, tint="chunk")
+        )
+        assert (plain != tinted).any()
