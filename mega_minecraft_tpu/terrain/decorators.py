@@ -181,3 +181,19 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
                     blocks = try_place(blocks, choose, floor_y, gen)
 
     return blocks
+
+
+@jax.jit
+def place_decorators_batch(blocks, heightfield, biome_weights, cave_starts, cave_ends,
+                           cave_bottom_biome, chunk_pos):
+    """Batched ``place_decorators`` over a leading chunk axis via ``lax.map``
+    (one dispatch per stage batch instead of one per chunk)."""
+
+    def one(args):
+        return place_decorators(*args)
+
+    return jax.lax.map(
+        one,
+        (blocks, heightfield, biome_weights, cave_starts, cave_ends,
+         cave_bottom_biome, chunk_pos),
+    )

@@ -293,3 +293,10 @@ def gather_from_neighborhood(per_chunk_lists, cap: int):
     out = {k: v[idx] for k, v in flat.items()}
     out["feature"] = jnp.where(valid[idx], out["feature"], I32(0))
     return out
+
+
+def gather_from_neighborhood_batch(per_chunk_lists, cap: int):
+    """Batched 49-chunk gather: dict of [B, 49, K] arrays -> dict of [B, cap]."""
+    import jax
+
+    return jax.vmap(lambda d: gather_from_neighborhood(d, cap))(per_chunk_lists)

@@ -134,3 +134,18 @@ def apply_features_chunk(blocks, surface_list, cave_list, chunk_pos1, heightfiel
     blocks_s, placed_s = apply_placements(blocks, surface_list, chunk_pos1, heightfield, cave=False)
     blocks_c, placed_c = apply_placements(blocks, cave_list, chunk_pos1, heightfield, cave=True)
     return jnp.where(placed_s, blocks_s, jnp.where(placed_c, blocks_c, blocks))
+
+
+@jax.jit
+def apply_features_batch(blocks, surface_lists, cave_lists, chunk_pos, heightfield):
+    """Batched ``apply_features_chunk`` over a leading chunk axis via ``lax.map``:
+    the per-chunk placement while_loops run back-to-back on device in ONE dispatch
+    (``vmap`` would instead evaluate every ``lax.switch`` branch for every placement).
+
+    Args are the per-chunk shapes with a leading [B] axis (list dicts: [B, K])."""
+
+    def one(args):
+        b, s, c, p, h = args
+        return apply_features_chunk(b, s, c, p, h)
+
+    return jax.lax.map(one, (blocks, surface_lists, cave_lists, chunk_pos, heightfield))

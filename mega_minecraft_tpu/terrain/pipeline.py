@@ -162,7 +162,7 @@ def generate_area(
         )
         blocks_np[b0:b1] = out[: b1 - b0]
 
-    # 6b. features + decorators per chunk
+    # 6b. features + decorators, batched over all chunks (3 device dispatches)
     if features:
         from . import decorators as decorators_mod
         from . import feature_placement as fp
@@ -171,29 +171,38 @@ def generate_area(
 
         sf = placement_lists["surface"]
         cf = placement_lists["cave"]
+        # neighborhood slot table; out-of-area neighbors alias chunk 0 with their
+        # list masked off via a validity column (border features clipped)
+        nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), I32)
+        nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
         for ci in range(n):
             iz, ix = divmod(ci, ncx)
-            # neighborhood chunks inside the area only (border features clipped)
-            nb = []
-            for o in fp.GATHER_OFFSETS:
+            for oi, o in enumerate(fp.GATHER_OFFSETS):
                 jx, jz = ix + int(o[0]), iz + int(o[1])
                 if 0 <= jx < ncx and 0 <= jz < ncz:
-                    nb.append(jz * ncx + jx)
-            nbi = jnp.asarray(np.array(nb, I32))
-            surf = fp.gather_from_neighborhood(
-                {k: v[nbi] for k, v in sf.items()}, bio2.MAX_GATHERED_FEATURES_PER_CHUNK
-            )
-            cave = fp.gather_from_neighborhood(
-                {k: v[nbi] for k, v in cf.items()}, bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
-            )
-            b1_ = features_mod.apply_features_chunk(
-                jnp.asarray(blocks_np[ci]), surf, cave, pos_in[ci], hf_in[ci]
-            )
-            b1_ = decorators_mod.place_decorators(
-                b1_, hf_in[ci], w_in[ci], cv["starts"][ci], cv["ends"][ci],
-                cv["bottom_biome"][ci], pos_in[ci],
-            )
-            blocks_np[ci] = np.asarray(b1_)
+                    nb_idx[ci, oi] = jz * ncx + jx
+                    nb_ok[ci, oi] = True
+        nbi = jnp.asarray(nb_idx)
+        mask = jnp.asarray(nb_ok)[..., None]
+
+        def nb_lists(lists):
+            out = {k: v[nbi] for k, v in lists.items()}
+            out["feature"] = jnp.where(mask, out["feature"], 0)
+            return out
+
+        surf = fp.gather_from_neighborhood_batch(
+            nb_lists(sf), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+        )
+        cave = fp.gather_from_neighborhood_batch(
+            nb_lists(cf), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+        )
+        b = features_mod.apply_features_batch(
+            jnp.asarray(blocks_np), surf, cave, pos_in, hf_in
+        )
+        b = decorators_mod.place_decorators_batch(
+            b, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in
+        )
+        blocks_np = np.asarray(b)
 
     return {
         "blocks": blocks_np.reshape(ncz, ncx, 16, 16, 384),

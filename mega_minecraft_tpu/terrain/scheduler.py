@@ -174,7 +174,9 @@ class TerrainScheduler:
         self.last_chunk = None
         self.needs_update = True
         self.newly_filled: list = []
+        self.vbos_destroyed: list = []  # consumed by the engine (destroyChunk analogue)
         self._queued = set()  # (stage, pos) pairs to avoid duplicate queueing
+        self.timer = None  # optional utils.profiling.StageTimer
 
     # ------------------------------------------------------------------
     # chunk window update (updateChunks / updateChunk)
@@ -428,37 +430,34 @@ class TerrainScheduler:
             self.t.d_cave_ends[sl].astype(jnp.int32),
             pos,
         )
-        # features: gather the 49-chunk neighborhood lists and apply per chunk
-        # (chunk.cu:1158-1196 gather + kernFill's placement loops), then decorators
+        # features: gather the 49-chunk neighborhood lists and apply, batched
+        # (chunk.cu:1158-1196 gather + kernFill's placement loops), then decorators —
+        # three device dispatches for the whole batch
+        nb_slots = np.empty((len(batch), len(fp.GATHER_OFFSETS)), I32)
         for bi, p in enumerate(batch):
-            nb_slots = np.array(
-                [self.t.slot_of[(p[0] + int(o[0]), p[1] + int(o[1]))] for o in fp.GATHER_OFFSETS],
-                I32,
-            )
-            nsl = jnp.asarray(nb_slots)
-            surf = fp.gather_from_neighborhood(
-                {k: v[nsl] for k, v in self.t.d_sf.items()}, bio.MAX_GATHERED_FEATURES_PER_CHUNK
-            )
-            cave = fp.gather_from_neighborhood(
-                {k: v[nsl] for k, v in self.t.d_cf.items()}, bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
-            )
-            slot = self.t.slot_of[p]
-            cpos = jnp.asarray(np.array(p, I32) * 16)
-            b1 = features_mod.apply_features_chunk(
-                blocks[bi], surf, cave, cpos, self.t.d_heightfield[slot]
-            )
-            b1 = decorators_mod.place_decorators(
-                b1,
-                self.t.d_heightfield[slot],
-                self.t.d_weights[slot],
-                self.t.d_cave_starts[slot].astype(jnp.int32),
-                self.t.d_cave_ends[slot].astype(jnp.int32),
-                self.t.d_cave_bottom[slot].astype(jnp.int32),
-                cpos,
-            )
-            blocks = blocks.at[bi].set(b1)
+            for oi, o in enumerate(fp.GATHER_OFFSETS):
+                nb_slots[bi, oi] = self.t.slot_of[(p[0] + int(o[0]), p[1] + int(o[1]))]
+        nsl = jnp.asarray(self._pad(nb_slots, STAGE_BATCH))
+        surf = fp.gather_from_neighborhood_batch(
+            {k: v[nsl] for k, v in self.t.d_sf.items()}, bio.MAX_GATHERED_FEATURES_PER_CHUNK
+        )
+        cave = fp.gather_from_neighborhood_batch(
+            {k: v[nsl] for k, v in self.t.d_cf.items()}, bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+        )
+        blocks = features_mod.apply_features_batch(
+            blocks, surf, cave, pos, self.t.d_heightfield[sl]
+        )
+        blocks = decorators_mod.place_decorators_batch(
+            blocks,
+            self.t.d_heightfield[sl],
+            self.t.d_weights[sl],
+            self.t.d_cave_starts[sl].astype(jnp.int32),
+            self.t.d_cave_ends[sl].astype(jnp.int32),
+            self.t.d_cave_bottom[sl].astype(jnp.int32),
+            pos,
+        )
         # write back only the real (non-padded) entries: padded duplicates carry
-        # un-feature-processed volumes for the same slot
+        # stale volumes for the same slot
         n = len(batch)
         self.t.d_blocks = self.t.d_blocks.at[sl[:n]].set(blocks[:n])
         for p in batch:
@@ -484,10 +483,32 @@ class TerrainScheduler:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.DRAWABLE)
             self.newly_filled.append(p)
 
+    def destroy_far_vbos(self):
+        """DRAWABLE chunks beyond the VBO radius (+2 hysteresis) drop back to FILLED
+        and are reported in ``vbos_destroyed`` for the engine to remove from the scene
+        (reference behavior: Terrain::destroyFarChunkVbos, terrain.cpp:1009-1019, and
+        the destroy queue drain feeding OptixRenderer::destroyChunk,
+        terrain.cpp:593-606)."""
+        ccx, ccz = self.current_chunk
+        limit = CHUNK_VBOS_GEN_RADIUS + 2
+        drawable = np.where(self.t.state == int(ChunkState.DRAWABLE))[0]
+        for slot in drawable:
+            cx, cz = int(self.t.chunk_pos[slot][0]), int(self.t.chunk_pos[slot][1])
+            if max(abs(cx - ccx), abs(cz - ccz)) > limit:
+                self.t.state[slot] = int(ChunkState.FILLED)
+                self.vbos_destroyed.append((cx, cz))
+                self.needs_update = True
+
     # ------------------------------------------------------------------
     # frame tick (Terrain::tick, terrain.cpp:587-960) — queues drain in reverse
     # pipeline order so nearly-done chunks finish first
     # ------------------------------------------------------------------
+
+    def _timed(self, name, fn):
+        if self.timer is None:
+            return fn()
+        with self.timer.stage(name):
+            return fn()
 
     def tick(self, dt: float):
         if self.current_chunk != self.last_chunk:
@@ -503,15 +524,15 @@ class TerrainScheduler:
             MAX_ACTION_TIME_PER_FRAME,
         )
 
-        self._exec_vbos()
-        self._exec_fill()
-        self._exec_gather_features()
-        self._exec_feature_placements()
-        self._exec_caves()
-        self._exec_erosion()
-        self._exec_layers()
-        self._exec_gather_heightfield()
-        self._exec_heightfield()
+        self._timed("vbos", self._exec_vbos)
+        self._timed("fill", self._exec_fill)
+        self._timed("gather_features", self._exec_gather_features)
+        self._timed("feature_placements", self._exec_feature_placements)
+        self._timed("caves", self._exec_caves)
+        self._timed("erosion", self._exec_erosion)
+        self._timed("layers", self._exec_layers)
+        self._timed("gather_heightfield", self._exec_gather_heightfield)
+        self._timed("heightfield", self._exec_heightfield)
 
     def drain(self, max_frames: int = 100000, dt: float = 1.0 / 60.0) -> int:
         """Run ticks until all queues are empty and no state changes remain
