@@ -18,6 +18,7 @@ pure VPU math.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -96,28 +97,20 @@ def build_scene(chunk_blocks, origin_chunk_x: int, origin_chunk_z: int) -> Scene
     return Scene(field=blocks_to_field(vol), origin=origin)
 
 
-def update_chunks(scene: Scene, vol_u8_region, z0: int, x0: int) -> Scene:
-    """Write a block region ([dz, dx, 384] u8, volume-local offsets) into the scene
-    and resweep the distance transform over the affected neighborhood — the TPU
-    analogue of buildChunkAccel: a pure array update, no BVH.
-
-    The resweep region extends DIST_CAP blocks beyond the updated region so distances
-    that shrank propagate; distances that should *grow* (block removal) are healed by
-    recomputing from solidity inside the window, whose border seeds from the old field.
-    """
+@partial(jax.jit, donate_argnums=(0,))
+def _update_chunk_field(field, vol_u8_region, z0, x0):
+    """Jit-stable field update: traced region offsets, fixed window size, donated
+    field buffer (in-place in HBM).  ONE compile per (scene shape, region shape)."""
     dz, dx = vol_u8_region.shape[0], vol_u8_region.shape[1]
-    # splice updated blocks into a u8 view of the field region is not kept; rebuild
-    # the field window from solidity + old-field border seeds
     pad = DIST_CAP
-    zlo = max(z0 - pad, 0)
-    xlo = max(x0 - pad, 0)
-    zhi = min(z0 + dz + pad, scene.field.shape[0])
-    xhi = min(x0 + dx + pad, scene.field.shape[1])
-
-    window = jax.lax.dynamic_slice(
-        scene.field, (zlo, xlo, 0), (zhi - zlo, xhi - xlo, Y_SIZE)
-    ).astype(I32)
-    # overlay new solid blocks (empty marked as EMPTY_BASE pending distance resweep)
+    wz = min(dz + 2 * pad, field.shape[0])
+    wx = min(dx + 2 * pad, field.shape[1])
+    # dynamic_slice clamps start indices into range; recompute the clamped values
+    # so the region lands at the right offset inside the window
+    zlo = jnp.clip(z0 - pad, 0, field.shape[0] - wz)
+    xlo = jnp.clip(x0 - pad, 0, field.shape[1] - wx)
+    window = jax.lax.dynamic_slice(field, (zlo, xlo, 0), (wz, wx, Y_SIZE)).astype(I32)
+    # overlay new blocks (empty marked as EMPTY_BASE pending distance resweep)
     new_vals = vol_u8_region.astype(I32)
     new_solid = jnp.asarray(SOLID)[new_vals]
     sub = jnp.where(new_solid, new_vals, I32(EMPTY_BASE))
@@ -126,5 +119,21 @@ def update_chunks(scene: Scene, vol_u8_region, z0: int, x0: int) -> Scene:
     dist = chebyshev_distance(solid)
     enc = I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
     window = jnp.where(solid, window, enc).astype(U8)
-    field = jax.lax.dynamic_update_slice(scene.field, window, (zlo, xlo, 0))
-    return Scene(field=field, origin=scene.origin)
+    return jax.lax.dynamic_update_slice(field, window, (zlo, xlo, 0))
+
+
+def update_chunks(scene: Scene, vol_u8_region, z0: int, x0: int) -> Scene:
+    """Write a block region ([dz, dx, 384] u8, volume-local offsets) into the scene
+    and resweep the distance transform over the affected neighborhood — the TPU
+    analogue of buildChunkAccel: a pure array update, no BVH.
+
+    The resweep window extends DIST_CAP blocks beyond the updated region so distances
+    that shrank propagate; distances that should *grow* (block removal) are healed by
+    recomputing from solidity inside the window, whose border seeds from the old field.
+    """
+    return Scene(
+        field=_update_chunk_field(
+            scene.field, vol_u8_region, jnp.int32(z0), jnp.int32(x0)
+        ),
+        origin=scene.origin,
+    )

@@ -70,6 +70,92 @@ ACTION_TIME = {
 STAGE_BATCH = 16  # chunks per jitted stage call (padded)
 
 
+# ---------------------------------------------------------------------------
+# Jitted stage programs: each is ONE device dispatch doing slot-gather → stage
+# compute → slot-scatter, with the big slot arrays donated (updated in place in
+# HBM).  Padding duplicates the last batch entry, whose recomputed output is
+# identical, so duplicate scatter writes are benign.  Keeping gathers/scatters
+# inside the jit matters doubly on a linked-TPU backend where every eager array
+# op pays a dispatch round-trip and a per-process compile.
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, donate_argnums=(0, 1))
+def _stage_heightfield(d_hf, d_w, slots, pos):
+    hf, w = heightfield.generate_heightfield(pos)
+    return d_hf.at[slots].set(hf), d_w.at[slots].set(w)
+
+
+@_partial(jax.jit, donate_argnums=(0,), static_argnames=("fix_backward",))
+def _stage_layers(d_layers, d_hf, d_w, nslots, slots, pos, fix_backward: bool):
+    gathered = gather.gather_heightfields_batch(d_hf[nslots])
+    ls = layers.generate_layers(gathered, d_w[slots], pos)
+    if fix_backward:
+        ls = layers.fix_backward_stratified(ls)
+    return d_layers.at[slots].set(ls)
+
+
+@_partial(jax.jit, donate_argnums=(0,))
+def _stage_erosion(d_layers, d_hf, gslots):
+    half = ZONE_SIZE // 2
+    lg = d_layers[gslots]
+    g = erosion.gather_zone_layers(lg, d_hf[gslots])
+    eroded = erosion.erode_zone(g)
+    core = erosion.scatter_zone_layers(
+        lg[half : half + ZONE_SIZE, half : half + ZONE_SIZE], eroded
+    ).reshape(-1, 20, 16, 16)
+    fixed = layers.fix_backward_stratified(core)
+    core_slots = gslots[half : half + ZONE_SIZE, half : half + ZONE_SIZE].reshape(-1)
+    return d_layers.at[core_slots].set(fixed)
+
+
+@jax.jit
+def _stage_caves(d_hf, d_w, slots, pos):
+    # NOTE: the slot scatters happen eagerly in the caller — fusing narrow-dtype
+    # (i16/u8) scatters into the stage program crashes the TPU compiler
+    # (SortedScatterEmitter "GetGatherType == kSublaneGather" check failure)
+    cv = caves_mod.generate_caves(d_hf[slots], d_w[slots], pos)
+    return (
+        cv["starts"].astype(jnp.int16),
+        cv["ends"].astype(jnp.int16),
+        cv["bottom_biome"].astype(jnp.uint8),
+        cv["top_biome"].astype(jnp.uint8),
+    )
+
+
+@jax.jit
+def _stage_feature_placements(d_hf, d_w, d_layers, cs_b, ce_b, cb_b, ct_b, slots, pos):
+    # cave arrays arrive pre-gathered ([B, ...] i32) and the per-slot list scatters
+    # happen eagerly in the caller: fusing narrow/ragged gathers or scatters into the
+    # stage program crashes the TPU compiler (see _stage_caves)
+    pl = fp.generate_placements(
+        d_hf[slots], d_w[slots], d_layers[slots], cs_b, ce_b, cb_b, ct_b, pos
+    )
+    return fp.compact_placements(pl, pos)
+
+
+@jax.jit
+def _stage_fill(d_hf, d_w, d_layers, cs_b, ce_b, cb_b, d_sf, d_cf, slots, nslots, pos):
+    # cave arrays arrive pre-gathered ([B, ...] i32) — see _stage_caves note
+    blocks = fill.fill_chunks(
+        d_hf[slots], d_w[slots], d_layers[slots], cs_b, ce_b, pos
+    )
+    surf = fp.gather_from_neighborhood_batch(
+        {k: v[nslots] for k, v in d_sf.items()}, bio.MAX_GATHERED_FEATURES_PER_CHUNK
+    )
+    cave = fp.gather_from_neighborhood_batch(
+        {k: v[nslots] for k, v in d_cf.items()}, bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+    )
+    blocks = features_mod.apply_features_batch(blocks, surf, cave, pos, d_hf[slots])
+    blocks = decorators_mod.place_decorators_batch(
+        blocks, d_hf[slots], d_w[slots], cs_b, ce_b, cb_b, pos
+    )
+    # u8 blocks scatter happens eagerly in the caller (see _stage_caves note)
+    return blocks
+
+
 def generate_spiral() -> np.ndarray:
     """Spiral scan offsets (terrain.cpp:220-252)."""
     out = []
@@ -282,13 +368,11 @@ class TerrainScheduler:
         batch = self._pop_batch("heightfield", ACTION_TIME["heightfield"])
         if not batch:
             return
-        slots = self._slots(batch)
-        pos = np.array(batch, I32) * 16
-        pos_p = jnp.asarray(self._pad(pos, STAGE_BATCH))
-        hf, w = heightfield.generate_heightfield(pos_p)
-        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
-        self.t.d_heightfield = self.t.d_heightfield.at[sl].set(hf)
-        self.t.d_weights = self.t.d_weights.at[sl].set(w)
+        sl = jnp.asarray(self._pad(self._slots(batch), STAGE_BATCH))
+        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
+        self.t.d_heightfield, self.t.d_weights = _stage_heightfield(
+            self.t.d_heightfield, self.t.d_weights, sl, pos
+        )
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.HAS_HEIGHTFIELD)
 
@@ -313,12 +397,15 @@ class TerrainScheduler:
         slots = self._slots(batch)
         sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
         pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        hf_nbhd = self.t.d_heightfield[nslots]  # [B, 3, 3, 16, 16]
-        gathered = gather.gather_heightfields_batch(hf_nbhd)
-        ls = layers.generate_layers(gathered, self.t.d_weights[sl], pos)
-        if self.skip_erosion:
-            ls = layers.fix_backward_stratified(ls)
-        self.t.d_layers = self.t.d_layers.at[sl].set(ls)
+        self.t.d_layers = _stage_layers(
+            self.t.d_layers,
+            self.t.d_heightfield,
+            self.t.d_weights,
+            nslots,
+            sl,
+            pos,
+            fix_backward=self.skip_erosion,
+        )
         if self.skip_erosion:
             for p in batch:
                 self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_CAVES)
@@ -351,18 +438,11 @@ class TerrainScheduler:
         for iz in range(24):
             for ix in range(24):
                 gslots[iz, ix] = self.t.slot_of[(zx + ix - half, zz + iz - half)]
-        gslots_j = jnp.asarray(gslots)
-        lg = self.t.d_layers[gslots_j]  # [24, 24, 20, 16, 16]
-        hfg = self.t.d_heightfield[gslots_j]
-        g = erosion.gather_zone_layers(lg, hfg)
-        eroded = erosion.erode_zone(g)
-        core_slots = gslots_j[half : half + ZONE_SIZE, half : half + ZONE_SIZE]
-        core = erosion.scatter_zone_layers(lg[half : half + ZONE_SIZE, half : half + ZONE_SIZE], eroded)
-        flat = core_slots.reshape(-1)
-        self.t.d_layers = self.t.d_layers.at[flat].set(core.reshape(-1, 20, 16, 16))
-        # fix backward-stratified layers for the zone's chunks (chunk.cu:717-720)
-        fixed = layers.fix_backward_stratified(self.t.d_layers[flat])
-        self.t.d_layers = self.t.d_layers.at[flat].set(fixed)
+        # one dispatch: gather 24×24 → erode → scatter core + backward-stratified fix
+        # (chunk.cu:717-720)
+        self.t.d_layers = _stage_erosion(
+            self.t.d_layers, self.t.d_heightfield, jnp.asarray(gslots)
+        )
         for iz in range(ZONE_SIZE):
             for ix in range(ZONE_SIZE):
                 p = (zx + ix, zz + iz)
@@ -375,11 +455,12 @@ class TerrainScheduler:
         slots = self._slots(batch)
         sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
         pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        cv = caves_mod.generate_caves(self.t.d_heightfield[sl], self.t.d_weights[sl], pos)
-        self.t.d_cave_starts = self.t.d_cave_starts.at[sl].set(cv["starts"].astype(jnp.int16))
-        self.t.d_cave_ends = self.t.d_cave_ends.at[sl].set(cv["ends"].astype(jnp.int16))
-        self.t.d_cave_bottom = self.t.d_cave_bottom.at[sl].set(cv["bottom_biome"].astype(jnp.uint8))
-        self.t.d_cave_top = self.t.d_cave_top.at[sl].set(cv["top_biome"].astype(jnp.uint8))
+        t = self.t
+        cs, ce, cb, ct = _stage_caves(t.d_heightfield, t.d_weights, sl, pos)
+        t.d_cave_starts = t.d_cave_starts.at[sl].set(cs)
+        t.d_cave_ends = t.d_cave_ends.at[sl].set(ce)
+        t.d_cave_bottom = t.d_cave_bottom.at[sl].set(cb)
+        t.d_cave_top = t.d_cave_top.at[sl].set(ct)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_FEATURE_PLACEMENTS)
 
@@ -390,21 +471,19 @@ class TerrainScheduler:
         slots = self._slots(batch)
         sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
         pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        pl = fp.generate_placements(
-            self.t.d_heightfield[sl],
-            self.t.d_weights[sl],
-            self.t.d_layers[sl],
-            self.t.d_cave_starts[sl].astype(jnp.int32),
-            self.t.d_cave_ends[sl].astype(jnp.int32),
-            self.t.d_cave_bottom[sl].astype(jnp.int32),
-            self.t.d_cave_top[sl].astype(jnp.int32),
-            pos,
+        t = self.t
+        lists = _stage_feature_placements(
+            t.d_heightfield, t.d_weights, t.d_layers,
+            t.d_cave_starts[sl].astype(jnp.int32),
+            t.d_cave_ends[sl].astype(jnp.int32),
+            t.d_cave_bottom[sl].astype(jnp.int32),
+            t.d_cave_top[sl].astype(jnp.int32),
+            sl, pos,
         )
-        lists = fp.compact_placements(pl, pos)
-        for k in self.t.d_sf:
-            self.t.d_sf[k] = self.t.d_sf[k].at[sl].set(lists["surface"][k])
-        for k in self.t.d_cf:
-            self.t.d_cf[k] = self.t.d_cf[k].at[sl].set(lists["cave"][k])
+        for k in t.d_sf:
+            t.d_sf[k] = t.d_sf[k].at[sl].set(lists["surface"][k])
+        for k in t.d_cf:
+            t.d_cf[k] = t.d_cf[k].at[sl].set(lists["cave"][k])
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS)
 
@@ -422,44 +501,24 @@ class TerrainScheduler:
         slots = self._slots(batch)
         sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
         pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        blocks = fill.fill_chunks(
-            self.t.d_heightfield[sl],
-            self.t.d_weights[sl],
-            self.t.d_layers[sl],
-            self.t.d_cave_starts[sl].astype(jnp.int32),
-            self.t.d_cave_ends[sl].astype(jnp.int32),
-            pos,
-        )
-        # features: gather the 49-chunk neighborhood lists and apply, batched
-        # (chunk.cu:1158-1196 gather + kernFill's placement loops), then decorators —
-        # three device dispatches for the whole batch
+        # 49-chunk neighborhood slot table for the feature gather (chunk.cu:1158-1196)
         nb_slots = np.empty((len(batch), len(fp.GATHER_OFFSETS)), I32)
         for bi, p in enumerate(batch):
             for oi, o in enumerate(fp.GATHER_OFFSETS):
                 nb_slots[bi, oi] = self.t.slot_of[(p[0] + int(o[0]), p[1] + int(o[1]))]
         nsl = jnp.asarray(self._pad(nb_slots, STAGE_BATCH))
-        surf = fp.gather_from_neighborhood_batch(
-            {k: v[nsl] for k, v in self.t.d_sf.items()}, bio.MAX_GATHERED_FEATURES_PER_CHUNK
+        t = self.t
+        # ONE dispatch: fill + feature gather/apply + decorators (padded duplicates
+        # recompute identical volumes, so their duplicate scatter writes are benign)
+        blocks = _stage_fill(
+            t.d_heightfield, t.d_weights, t.d_layers,
+            t.d_cave_starts[sl].astype(jnp.int32),
+            t.d_cave_ends[sl].astype(jnp.int32),
+            t.d_cave_bottom[sl].astype(jnp.int32),
+            t.d_sf, t.d_cf,
+            sl, nsl, pos,
         )
-        cave = fp.gather_from_neighborhood_batch(
-            {k: v[nsl] for k, v in self.t.d_cf.items()}, bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
-        )
-        blocks = features_mod.apply_features_batch(
-            blocks, surf, cave, pos, self.t.d_heightfield[sl]
-        )
-        blocks = decorators_mod.place_decorators_batch(
-            blocks,
-            self.t.d_heightfield[sl],
-            self.t.d_weights[sl],
-            self.t.d_cave_starts[sl].astype(jnp.int32),
-            self.t.d_cave_ends[sl].astype(jnp.int32),
-            self.t.d_cave_bottom[sl].astype(jnp.int32),
-            pos,
-        )
-        # write back only the real (non-padded) entries: padded duplicates carry
-        # stale volumes for the same slot
-        n = len(batch)
-        self.t.d_blocks = self.t.d_blocks.at[sl[:n]].set(blocks[:n])
+        t.d_blocks = t.d_blocks.at[sl].set(blocks)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.FILLED)
         # FILLED chunks whose 4-neighborhood is FILLED become NEEDS_VBOS
