@@ -54,12 +54,11 @@ class Engine:
         half = n // 2
         self.window_origin = (-half, -half)  # chunk coords of scene corner
         side = n * 16
+        empty_val = (brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP) | (
+            brickmap.DIST_CAP << 8
+        )
         self.scene = brickmap.Scene(
-            field=jnp.full(
-                (side, side, 384),
-                brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP,
-                jnp.uint8,
-            ),
+            field=jnp.full((side, side, 384), empty_val, jnp.uint16),
             origin=jnp.asarray(
                 np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
             ),

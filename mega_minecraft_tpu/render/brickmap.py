@@ -30,20 +30,25 @@ from ..world.blocks import NUM_BLOCKS, SOLID
 Y_SIZE = 384
 DIST_CAP = 63
 
-#: u8 field encoding: values < EMPTY_BASE are solid block ids; values >= EMPTY_BASE
-#: are empty voxels with L∞ distance-to-solid = value − (EMPTY_BASE − 1), so one u8
-#: gather yields either the hit block or a safe skip.  u8 (vs i32) quarters the
-#: traversal's HBM traffic — the DDA is gather-bound (≈3.2 ms/whole-image step i32,
-#: ≈2 ms u8 at 640×360 on v5e).
+#: field encoding (u16, ONE gather per DDA step yields everything):
+#:   low byte:  block id if solid, EMPTY_BASE−1+(3-D L∞ distance to solid) if empty
+#:   high byte: horizontal-clearance distance dxz — the horizontal (x,z) L∞
+#:     distance to the nearest solid voxel AT OR ABOVE this y level.  Because it is
+#:     monotonically non-decreasing in y, a ray that is not descending (dy ≥ 0) may
+#:     safely skip dxz−1 blocks regardless of horizontal direction.  This is the
+#:     skip that matters over open terrain: a grazing ray one block above flat
+#:     ground has 3-D distance 1 (useless) but dxz = cap, so it crosses the whole
+#:     fog range in a few steps instead of one step per cell.
 EMPTY_BASE = NUM_BLOCKS  # 140
 
 U8 = jnp.uint8
+U16 = jnp.uint16
 I32 = jnp.int32
 F32 = jnp.float32
 
 
 class Scene(NamedTuple):
-    #: [Z, X, Y] u8 — block id if solid, EMPTY_BASE−1+(L∞ distance) if empty
+    #: [Z, X, Y] u16 — see encoding above
     field: jnp.ndarray
     origin: jnp.ndarray  # [3] i32 world (x, y, z) of voxel (z=0, x=0, y=0)
 
@@ -58,27 +63,46 @@ def _shift_min(d, s: int, axis: int, fill):
     return jnp.minimum(d, jnp.minimum(lo, hi))
 
 
-def chebyshev_distance(solid, cap: int = DIST_CAP):
-    """Exact bounded L∞ distance-to-solid via doubling rounds ([Z, X, Y] bool -> i32)."""
-    d = jnp.where(solid, I32(0), I32(cap)).astype(I32)
+def chebyshev_distance(solid, cap: int = DIST_CAP, axes=(0, 1, 2), init=None):
+    """Exact bounded L∞ distance-to-solid via doubling rounds ([Z, X, Y] bool -> i32).
+    ``axes`` restricts the metric (e.g. (0, 1) = horizontal-only distance).
+    ``init`` seeds non-solid voxels with a known-safe upper bound (used by window
+    updates so solids just outside the window stay accounted for)."""
+    far = I32(cap) if init is None else jnp.minimum(init.astype(I32), I32(cap))
+    d = jnp.where(solid, I32(0), far)
     s = 1
     while s < cap:
         e = d
-        for axis in range(3):
+        for axis in axes:
             e = _shift_min(e, s, axis, cap)
         d = jnp.minimum(d, e + I32(s))
         s *= 2
     return jnp.minimum(d, I32(cap))
 
 
+def _horizontal_clearance(solid, cap: int = DIST_CAP, init=None):
+    """dxz: per voxel, horizontal (z, x) L∞ distance to the nearest solid voxel at
+    or above this y ([Z, X, Y] bool -> i32, 0 at voxels with solid at/above them)."""
+    # suffix-OR along y (y index 383 = top): solid anywhere at or above this level
+    solid_above = jnp.flip(jnp.cumsum(jnp.flip(solid, 2).astype(I32), axis=2), 2) > 0
+    return chebyshev_distance(solid_above, cap, axes=(0, 1), init=init)
+
+
+def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_dxz=None):
+    dist = chebyshev_distance(solid, cap, init=init_dist)
+    low = jnp.where(
+        solid, vol_i32, I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
+    )
+    dxz = jnp.clip(_horizontal_clearance(solid, cap, init=init_dxz), 0, 255)
+    return (low | (dxz << I32(8))).astype(U16)
+
+
 @jax.jit
 def blocks_to_field(vol_u8):
-    """[Z, X, Y] u8 block ids -> merged distance/block u8 field (see EMPTY_BASE)."""
+    """[Z, X, Y] u8 block ids -> packed distance/block u16 field (see encoding)."""
     vol = vol_u8.astype(I32)
     solid = jnp.asarray(SOLID)[vol]
-    dist = chebyshev_distance(solid)
-    enc = I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
-    return jnp.where(solid, vol, enc).astype(U8)
+    return _encode(vol, solid)
 
 
 def build_scene(chunk_blocks, origin_chunk_x: int, origin_chunk_z: int) -> Scene:
@@ -109,16 +133,25 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     # so the region lands at the right offset inside the window
     zlo = jnp.clip(z0 - pad, 0, field.shape[0] - wz)
     xlo = jnp.clip(x0 - pad, 0, field.shape[1] - wx)
-    window = jax.lax.dynamic_slice(field, (zlo, xlo, 0), (wz, wx, Y_SIZE)).astype(I32)
+    old = jax.lax.dynamic_slice(field, (zlo, xlo, 0), (wz, wx, Y_SIZE)).astype(I32)
+    window = old & I32(0xFF)
+    # old stored distances seed the resweep as safe upper bounds, so solids just
+    # OUTSIDE the window stay accounted for at the window border (block removals
+    # inside the updated region then only leave the bounds conservative)
+    old_dist = jnp.maximum(window - I32(EMPTY_BASE - 1), I32(1))
+    old_dxz = (old >> I32(8)) & I32(0xFF)
     # overlay new blocks (empty marked as EMPTY_BASE pending distance resweep)
     new_vals = vol_u8_region.astype(I32)
     new_solid = jnp.asarray(SOLID)[new_vals]
     sub = jnp.where(new_solid, new_vals, I32(EMPTY_BASE))
     window = jax.lax.dynamic_update_slice(window, sub, (z0 - zlo, x0 - xlo, 0))
+    # inside the freshly updated region the old bounds don't apply (they may be
+    # stale small); reset them to the cap there
+    cap_reg = jnp.full((dz, dx, Y_SIZE), DIST_CAP, I32)
+    old_dist = jax.lax.dynamic_update_slice(old_dist, cap_reg, (z0 - zlo, x0 - xlo, 0))
+    old_dxz = jax.lax.dynamic_update_slice(old_dxz, cap_reg, (z0 - zlo, x0 - xlo, 0))
     solid = (window > 0) & (window < EMPTY_BASE)
-    dist = chebyshev_distance(solid)
-    enc = I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
-    window = jnp.where(solid, window, enc).astype(U8)
+    window = _encode(window, solid, init_dist=old_dist, init_dxz=old_dxz)
     return jax.lax.dynamic_update_slice(field, window, (zlo, xlo, 0))
 
 

@@ -52,6 +52,12 @@ U8 = jnp.uint8
 MAX_RAY_DEPTH = 4
 MAX_LOOP_ITERS = 7  # depth 4 + specular extensions
 MAX_TRACE_STEPS = 320
+# secondary/shadow rays carry RR/albedo-attenuated weight — a straggler ray
+# stepping hundreds of cells holds the whole lock-stepped frame hostage for
+# contribution below perceptual relevance, so their marches are capped tighter
+# (unresolved lanes report miss → sky/fog)
+BOUNCE_TRACE_STEPS = 96
+SHADOW_TRACE_STEPS = 64
 FOG_SCATTER = -0.005
 # rays are terminated once their horizontal travel saturates the fog
 # (smoothstep(220, 300) -> 1, basic_shaders.cu fogFactor); bounds the straggler
@@ -77,7 +83,7 @@ class TraceResult(NamedTuple):
     nz: jnp.ndarray
 
 
-def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
+def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRACE_STEPS):
     """Distance-field DDA from (o, d) in world space: ONE u8 gather per step; empty
     space is skipped by the Chebyshev distance stored in the field (brickmap.py).
     medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
@@ -113,9 +119,11 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
     t_out = jnp.minimum(t_out, t_start + F32(FOG_FULL_DIST) / jnp.maximum(horiz, F32(1e-3)))
 
     flat_field = scene.field.reshape(-1)
-    med_u8 = medium.astype(U8)
-    is_air_medium = med_u8 == U8(AIR)
-    empty_base = U8(EMPTY_BASE)
+    med_u16 = medium.astype(jnp.uint16)
+    is_air_medium = med_u16 == jnp.uint16(AIR)
+    empty_base = jnp.uint16(EMPTY_BASE)
+
+    ascending = dy >= F32(0.0)
 
     def body(state):
         t, alive, hit, hit_block, step = state
@@ -126,13 +134,17 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
         vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
         vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
 
-        val = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (u8) gather
+        packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (u16) gather
+        val = packed & jnp.uint16(0xFF)
+        dxz = (packed >> jnp.uint16(8)).astype(F32)
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
 
         # hit rule: in air, any solid; in a dense medium, anything that is not the
         # medium itself — the first non-medium voxel (air included) is the interface
-        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_u8)
-        hit_block = jnp.where(new_hit & is_solid, val, jnp.where(new_hit, U8(AIR), hit_block))
+        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_u16)
+        hit_block = jnp.where(
+            new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
+        )
         hit = hit | new_hit
         alive = alive & ~new_hit
 
@@ -148,9 +160,12 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
         tey = jnp.where(jnp.abs(dy) < F32(1e-12), big, (by - oy) * idy_)
         tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
         t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
-        skip = jnp.where(
-            is_air_medium, val.astype(F32) - F32(EMPTY_BASE), F32(0.0)
-        )  # = dist − 1 for empty voxels, < 0 (no-op) for solids
+        skip3d = val.astype(F32) - F32(EMPTY_BASE)  # = dist − 1 for empty voxels
+        # non-descending rays may additionally skip the horizontal clearance: dxz is
+        # the horizontal L∞ distance to any solid at-or-above this level and is
+        # monotone in y, so the ball stays empty as the ray rises
+        skip_h = jnp.where(ascending, dxz - F32(1.0), F32(0.0))
+        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_h), F32(0.0))
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)
@@ -159,7 +174,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium):
 
     def cond(state):
         _, alive, _, _, step = state
-        return jnp.any(alive) & (step < MAX_TRACE_STEPS)
+        return jnp.any(alive) & (step < max_steps)
 
     t0 = jnp.where(alive0, t_start, F32(1e20))
     init = (
@@ -407,7 +422,10 @@ def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int,
         seed = s["seed"]
         needs_first = s["needs_first"] if first else jnp.zeros(s["needs_first"].shape, bool)
 
-        res = trace(scene, ox, oy, oz, ddx, ddy, ddz, s["medium"])
+        res = trace(
+            scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
+            max_steps=MAX_TRACE_STEPS if first else BOUNCE_TRACE_STEPS,
+        )
         hit = res.hit & active
         miss = ~res.hit & active
 
@@ -640,7 +658,10 @@ def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int,
         is_sun = r_sun < sun_chance
         sdx, sdy, sdz = _sample_star(params, is_sun, scattered, x1, x2)
         spx = tuple(jnp.where(scattered, sp, p) for sp, p in zip(scatter_pos, (new_px, new_py, new_pz)))
-        sres = trace(scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full(shape, U8(AIR)))
+        sres = trace(
+            scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full(shape, U8(AIR)),
+            max_steps=SHADOW_TRACE_STEPS,
+        )
         shadow_miss = ~sres.hit
         # doFog's getSkyColor runs with needsFirstHitData already false -> disks yes,
         # stars/clouds no
