@@ -173,3 +173,69 @@ def mat_scalar(mat_i32, table_np):
     for k in range(1, len(table_np)):
         out = jnp.where(mat_i32 == k, jnp.asarray(table_np[k]), out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Procedural texture atlas — the TPU substitute for the reference's 16×16 PNG
+# atlases (diffuse/emissive, /root/reference/textures, sampled per face with
+# random rotation/flip at meshing, chunk.cu:1950-1990).  The assets cannot be
+# shipped, so per-block 16×16 tiles are synthesized: a deterministic per-texel
+# brightness pattern over the palette color, shaped by material class (speckle
+# for stone-likes, vertical grain for wood, sparse dark holes for leaves, soft
+# blotches for ground).  Packed r|g<<8|b<<16 so the tracer samples a tile with
+# ONE u32 gather.
+# ---------------------------------------------------------------------------
+
+
+def _texel_hash(i, u, v):
+    m = np.uint64(0xFFFFFFFF)
+    h = ((np.uint64(i) * np.uint64(0x9E3779B1)) & m
+         ^ (np.asarray(u, np.uint64) * np.uint64(0x85EBCA6B)) & m
+         ^ (np.asarray(v, np.uint64) * np.uint64(0xC2B2AE35)) & m) & m
+    h ^= h >> np.uint64(15)
+    h = (h * np.uint64(0x2C1B3C6D)) & m
+    h ^= h >> np.uint64(12)
+    return (h & np.uint64(0xFFFF)).astype(np.float32) / 65535.0
+
+
+_WOODS = {int(b) for b in _B.__members__.values() if "WOOD" in b.name or "STEM" in b.name}
+_LEAVES = {int(b) for b in _B.__members__.values() if "LEAVES" in b.name or "WART" in b.name}
+_GROUND = {int(_B.DIRT), int(_B.GRASS_BLOCK), int(_B.SAND), int(_B.RED_SAND),
+           int(_B.MUD), int(_B.GRAVEL), int(_B.CLAY), int(_B.MYCELIUM),
+           int(_B.JUNGLE_GRASS_BLOCK), int(_B.SAVANNA_GRASS_BLOCK)}
+
+_uu, _vv = np.meshgrid(np.arange(16), np.arange(16), indexing="xy")
+BLOCK_ATLAS = np.zeros((NUM_BLOCKS, 16, 16, 3), np.float32)
+for _i in range(NUM_BLOCKS):
+    base = BLOCK_ALBEDO[_i]
+    h = _texel_hash(_i, _uu, _vv)
+    if _i in _WOODS:
+        grain = _texel_hash(_i, _uu // 3, _vv // 16)  # vertical grain bands
+        m = 0.78 + 0.34 * grain + 0.08 * h
+    elif _i in _LEAVES:
+        m = np.where(h < 0.18, 0.55, 0.92 + 0.22 * h)  # sparse dark holes
+    elif _i in _GROUND:
+        blotch = _texel_hash(_i + 7, _uu // 2, _vv // 2)
+        m = 0.82 + 0.26 * blotch + 0.10 * h
+    else:
+        m = 0.86 + 0.24 * h  # fine speckle
+    BLOCK_ATLAS[_i] = np.clip(base[None, None, :] * m[..., None], 0.0, 1.0)
+BLOCK_ATLAS[int(_B.AIR)] = 0.0
+
+_ar = np.clip(BLOCK_ATLAS[..., 0] * 255.0 + 0.5, 0, 255).astype(np.uint32)
+_ag = np.clip(BLOCK_ATLAS[..., 1] * 255.0 + 0.5, 0, 255).astype(np.uint32)
+_ab = np.clip(BLOCK_ATLAS[..., 2] * 255.0 + 0.5, 0, 255).astype(np.uint32)
+#: [NUM_BLOCKS * 256] packed texels; index = block*256 + v*16 + u
+ATLAS_PACKED = (_ar | (_ag << 8) | (_ab << 16)).reshape(-1)
+
+
+def unpack_texel(t_u32):
+    import jax.numpy as jnp
+
+    p = t_u32.astype(jnp.uint32)
+    inv = jnp.float32(1.0 / 255.0)
+    return (
+        (p & jnp.uint32(0xFF)).astype(jnp.float32) * inv,
+        ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv,
+        ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv,
+    )

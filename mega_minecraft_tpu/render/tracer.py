@@ -35,6 +35,7 @@ from ..world.blocks import Block
 from . import sky as sky_mod
 from .brickmap import EMPTY_BASE, Scene
 from .materials import (
+    ATLAS_PACKED,
     BLOCK_PROPS,
     MAT_IOR,
     MAT_ROUGHNESS,
@@ -42,6 +43,7 @@ from .materials import (
     MAT_WAVY,
     mat_scalar,
     unpack_props,
+    unpack_texel,
 )
 from .sky import SkyParams, linearstep, smoothstep
 
@@ -381,6 +383,7 @@ def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int,
     )
 
     props_tab = jnp.asarray(BLOCK_PROPS)
+    atlas_tab = jnp.asarray(ATLAS_PACKED)
 
     sun_y = params.sun_dir[1]
 
@@ -497,13 +500,31 @@ def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int,
         is_spec = mat_scalar(mat, MAT_SPECULAR)
         rough = mat_scalar(mat, MAT_ROUGHNESS)
         ior = mat_scalar(mat, MAT_IOR)
-        # per-voxel brightness jitter (substitutes texture detail); not applied to
-        # the medium-exit pseudo-surface
-        jit = F32(0.9) + F32(0.2) * hashes.rand1_from3(
-            jnp.floor(isx - res.nx * 0.5), jnp.floor(isy - res.ny * 0.5), jnp.floor(isz - res.nz * 0.5)
-        )
-        jit = jnp.where(exit_to_air, F32(1.0), jit)
-        col_r, col_g, col_b = col_r * jit, col_g * jit, col_b * jit
+        # procedural 16×16 atlas fetch by entry-face UV with a per-voxel/face random
+        # rotation+flip (the reference's texture sampling, chunk.cu:1950-1990 +
+        # closesthit texture fetch); ONE u32 gather.  The medium-exit pseudo-surface
+        # keeps the flat palette color.
+        frac = lambda a: a - jnp.floor(a)
+        on_y = jnp.abs(res.ny) > F32(0.5)
+        on_x = jnp.abs(res.nx) > F32(0.5)
+        fu = jnp.where(on_y, frac(isx), jnp.where(on_x, frac(isz), frac(isx)))
+        fv = jnp.where(on_y, frac(isz), F32(1.0) - frac(isy))
+        tu = jnp.clip(jnp.floor(fu * F32(16.0)).astype(I32), 0, 15)
+        tv = jnp.clip(jnp.floor(fv * F32(16.0)).astype(I32), 0, 15)
+        vxf = jnp.floor(isx - res.nx * 0.5)
+        vyf = jnp.floor(isy - res.ny * 0.5)
+        vzf = jnp.floor(isz - res.nz * 0.5)
+        hface = hashes.rand1_from3(vxf + res.nx, vyf + res.ny * 2, vzf + res.nz * 3)
+        rot = jnp.floor(hface * F32(8.0)).astype(I32)
+        r2 = rot & 3
+        tu2 = jnp.where(r2 == 1, tv, jnp.where(r2 == 2, 15 - tu, jnp.where(r2 == 3, 15 - tv, tu)))
+        tv2 = jnp.where(r2 == 1, 15 - tu, jnp.where(r2 == 2, 15 - tv, jnp.where(r2 == 3, tu, tv)))
+        tu2 = jnp.where(rot >= 4, 15 - tu2, tu2)
+        texel = atlas_tab[eff_blk * 256 + tv2 * 16 + tu2]
+        tr, tg, tb = unpack_texel(texel)
+        col_r = jnp.where(exit_to_air, col_r, tr)
+        col_g = jnp.where(exit_to_air, col_g, tg)
+        col_b = jnp.where(exit_to_air, col_b, tb)
         horiz = jnp.sqrt(ddx * ddx + ddz * ddz) * res.t
         hit_fog_factor = smoothstep(220.0, 300.0, horiz)
 
