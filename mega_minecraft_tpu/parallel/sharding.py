@@ -236,7 +236,9 @@ def sharded_render(mesh: Mesh, scene, cam, params, height: int, width: int, fram
 
     axis = mesh.axis_names[0]
     f = jax.jit(
-        partial(render_sample, height=height, width=width),
+        # tile_rows=None: under GSPMD the row axis is already device-sharded, and
+        # band-sequencing inside each shard would force cross-device reshuffles
+        partial(render_sample, height=height, width=width, tile_rows=None),
         in_shardings=(
             NamedSharding(mesh, P()),  # scene replicated
             NamedSharding(mesh, P()),

@@ -356,21 +356,33 @@ def _rng(seed):
     return hashes.rnd(seed)
 
 
-def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int, frame_id):
-    """One 1-spp path-traced sample of the full frame.
+def _render_rows(
+    scene: Scene,
+    cam,
+    params: SkyParams,
+    height: int,
+    width: int,
+    frame_id,
+    row0,
+    full_height: int,
+):
+    """One 1-spp path-traced sample of ``height`` rows starting at global row
+    ``row0`` of a ``full_height``-row frame.
 
-    Returns (color, albedo, normal) [H, W, 3] f32 (NOT accumulated).
+    Returns (color, albedo, normal) [height, W, 3] f32 (NOT accumulated).
+    All per-pixel state (seeds, rays) is keyed by GLOBAL pixel coordinates, so the
+    image is bit-identical for any row tiling.
     """
     from .camera import pixel_rays
 
     ix = jnp.arange(width, dtype=I32)[None, :]
-    iy = jnp.arange(height, dtype=I32)[:, None]
+    iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
     seed = hashes.tea(iy * width + ix, jnp.asarray(frame_id, I32), rounds=4)
     seed = jnp.broadcast_to(seed, (height, width))
 
     j1, seed = _rng(seed)
     j2, seed = _rng(seed)
-    dx, dy, dz = pixel_rays(cam, width, height, (j1, j2))
+    dx, dy, dz = pixel_rays(cam, width, height, (j1, j2), row0=row0, full_height=full_height)
 
     shape = (height, width)
     zeros = jnp.zeros(shape, F32)
@@ -755,6 +767,59 @@ def render_sample(scene: Scene, cam, params: SkyParams, height: int, width: int,
     albedo = jnp.stack(out["albedo"], axis=-1)
     normal = jnp.stack(out["normal"], axis=-1)
     return color, albedo, normal
+
+
+# default row-band height for tiled rendering: small enough that a sky-dominated
+# band's DDA loops exit after a handful of iterations instead of being held to the
+# frame-global worst ray (the whole-frame while_loop is the lock-step analogue of the
+# reference's megakernel divergence, SURVEY.md hard-part #3); large enough that each
+# iteration still fills the (8, 128) VPU.  Measured on v5e at 640x360 (80x80-chunk
+# scene): untiled 710 ms, 40 rows 282 ms, 8 rows 161 ms, 4 rows 153 ms, 2 rows 166 ms.
+TILE_ROWS = 4
+
+
+def render_sample(
+    scene: Scene,
+    cam,
+    params: SkyParams,
+    height: int,
+    width: int,
+    frame_id,
+    tile_rows: int | None = TILE_ROWS,
+):
+    """One 1-spp path-traced sample of the full frame.
+
+    Returns (color, albedo, normal) [H, W, 3] f32 (NOT accumulated).
+
+    ``tile_rows`` (static): path-trace the frame in independent horizontal bands,
+    sequenced by ``lax.map`` — every band runs its own bounce/DDA ``while_loop``s and
+    stops as soon as ITS worst ray resolves, so total work is Σ_band(max steps in
+    band) instead of H·W·(global max).  ``None`` renders the frame as one band.
+    """
+    if tile_rows is None or tile_rows >= height:
+        return _render_rows(scene, cam, params, height, width, frame_id, 0, height)
+
+    n_full = height // tile_rows
+    rem = height - n_full * tile_rows
+
+    def band(row0):
+        return _render_rows(
+            scene, cam, params, tile_rows, width, frame_id, row0, height
+        )
+
+    offsets = jnp.arange(n_full, dtype=I32) * tile_rows
+    c, a, n = jax.lax.map(band, offsets)  # [n_full, tile_rows, W, 3] each
+    c = c.reshape(n_full * tile_rows, width, 3)
+    a = a.reshape(n_full * tile_rows, width, 3)
+    n = n.reshape(n_full * tile_rows, width, 3)
+    if rem:
+        cr, ar, nr = _render_rows(
+            scene, cam, params, rem, width, frame_id, n_full * tile_rows, height
+        )
+        c = jnp.concatenate([c, cr], axis=0)
+        a = jnp.concatenate([a, ar], axis=0)
+        n = jnp.concatenate([n, nr], axis=0)
+    return c, a, n
 
 
 def accumulate(fbs: FrameBuffers, color, albedo, normal, frame_id) -> FrameBuffers:

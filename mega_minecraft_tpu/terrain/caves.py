@@ -41,17 +41,15 @@ SEED_TOP_BIOME = 4982921  # chunk.cu:933
 SEED_FILL_BIOME = 190249401  # chunk.cu:1243
 
 
-def should_generate_cave(wx, wy, wz, max_height, ocean_beach_weight):
-    """Vectorized shouldGenerateCaveAtBlock (chunk.cu:755-810).
+#: ``carved`` caves cannot exist at or above this y: worleyEdgeThreshold carries a
+#: factor smoothstep(142, 95, y + oceanOffset) with oceanOffset >= 0, which is 0 for
+#: y >= 142, failing the `threshold > 0.04` gate (chunk.cu:769-781).  Bounding the
+#: 3-D carve-noise evaluation to this band cuts the stage's noise volume 384/144x.
+CARVE_Y_MAX = 144
 
-    All args broadcastable; wy is int-valued. Returns bool array.
-    """
-    wxf = jnp.asarray(wx, F32)
-    wyf = jnp.asarray(wy, F32)
-    wzf = jnp.asarray(wz, F32)
 
-    above_surface = wyf > jnp.maximum(jnp.floor(max_height), F32(bio.SEA_LEVEL))
-
+def _carved(wxf, wyf, wzf, ocean_beach_weight):
+    """The 3-D 'carved' term of shouldGenerateCaveAtBlock (chunk.cu:767-783)."""
     nx = wxf * F32(0.0050)
     ny = wyf * F32(0.0050)
     nz = wzf * F32(0.0050)
@@ -69,9 +67,13 @@ def should_generate_cave(wx, wy, wz, max_height, ocean_beach_weight):
     worley_edge_thr = worley_edge_thr * (F32(1.0) + F32(1.4) * huge)
     worley_edge_thr = worley_edge_thr * top_ratio * (F32(0.3) + F32(0.7) * bottom_ratio)
 
-    carved = jnp.logical_and(worley_edge_thr > F32(0.04), cave_noise < worley_edge_thr)
+    return jnp.logical_and(worley_edge_thr > F32(0.04), cave_noise < worley_edge_thr)
 
-    # ravines
+
+def _ravine_min_y(wxf, wzf, ocean_beach_weight):
+    """The per-COLUMN ravine term (chunk.cu:785-808): every noise input is 2-D, so
+    the block test reduces to ``wy > min_y`` against a per-column threshold
+    (+inf where no ravine)."""
     rx = wxf * F32(0.0015)
     rz = wzf * F32(0.0015)
     wofx, wofz = fbm2_from2(rx * F32(10.0), rz * F32(10.0), octaves=4)
@@ -92,10 +94,24 @@ def should_generate_cave(wx, wy, wz, max_height, ocean_beach_weight):
     wave = smoothstep(F32(0.4), F32(0.6), wave)
     rav_depth = rav_depth * wave
 
-    ravine = jnp.logical_and(
-        in_rav_cell,
-        jnp.logical_and(rav_depth > F32(0.0001), wyf > rav_top - rav_depth),
-    )
+    ok = jnp.logical_and(in_rav_cell, rav_depth > F32(0.0001))
+    return jnp.where(ok, rav_top - rav_depth, F32(1e9))
+
+
+def should_generate_cave(wx, wy, wz, max_height, ocean_beach_weight):
+    """Vectorized shouldGenerateCaveAtBlock (chunk.cu:755-810).
+
+    All args broadcastable; wy is int-valued. Returns bool array.
+    """
+    wxf = jnp.asarray(wx, F32)
+    wyf = jnp.asarray(wy, F32)
+    wzf = jnp.asarray(wz, F32)
+
+    above_surface = wyf > jnp.maximum(jnp.floor(max_height), F32(bio.SEA_LEVEL))
+
+    carved = _carved(wxf, wyf, wzf, ocean_beach_weight)
+
+    ravine = wyf > _ravine_min_y(wxf, wzf, ocean_beach_weight)
 
     cave = jnp.logical_or(above_surface, jnp.logical_or(carved, ravine))
     return jnp.logical_and(jnp.asarray(wy) != 0, cave)
@@ -182,14 +198,23 @@ def generate_caves(heightfield, biome_weights, chunk_pos):
         biome_weights[:, : bio.NUM_OCEAN_AND_BEACH_BIOMES], axis=1
     )  # [B, 16, 16]
 
+    # carve-noise band: y in [0, CARVE_Y_MAX) — carved caves are provably absent
+    # above (see CARVE_Y_MAX); ravine + above-surface terms are per-column
     wy = ly[None, None, None, :]  # [1,1,1,384]
-    cave = should_generate_cave(
-        wx[..., None].astype(F32),
-        wy,
-        wz[..., None].astype(F32),
-        heightfield[..., None],
-        ocean_beach[..., None],
-    )  # [B, 16, 16, 384] bool; True = air (cave)
+    wxf = wx[..., None].astype(F32)
+    wzf = wz[..., None].astype(F32)
+    wyb = wy[..., :CARVE_Y_MAX].astype(F32)
+    carved_band = _carved(wxf, wyb, wzf, ocean_beach[..., None])
+    carved_band = jnp.broadcast_to(carved_band, (B, 16, 16, CARVE_Y_MAX))
+    carved = jnp.concatenate(
+        [carved_band, jnp.zeros((B, 16, 16, Y_SIZE - CARVE_Y_MAX), bool)], axis=-1
+    )
+    above_surface = wy.astype(F32) > jnp.maximum(
+        jnp.floor(heightfield[..., None]), F32(bio.SEA_LEVEL)
+    )
+    ravine = wy.astype(F32) > _ravine_min_y(wxf, wzf, ocean_beach[..., None])
+    cave = above_surface | carved | ravine
+    cave = jnp.logical_and(wy != 0, cave)  # [B, 16, 16, 384]; True = air
 
     filled = jnp.logical_not(cave)
     next_filled = jnp.concatenate(

@@ -34,6 +34,8 @@ Y_SIZE = 384
 SEA_LEVEL = bio.SEA_LEVEL
 LAVA_LEVEL = bio.LAVA_LEVEL
 SEED_FILL_CAVE_BIOME = 190249401  # chunk.cu:1243
+#: cave biome is provably CaveBiome::NONE at/above this y (proof at the callsite)
+CAVE_BIOME_Y_MAX = 192
 
 _B = Block
 
@@ -364,13 +366,26 @@ def fill_chunks(heightfield, biome_weights, layers, cave_starts, cave_ends, chun
     post = _biome_postprocess(block, rand_biome, wxf, wyf, wzf, is_top)
     block = jnp.where(post_mask, post, block)
 
-    # cave-biome post-process runs for solid, non-pre-processed blocks
-    cave_biome_fill = get_cave_biome(
-        wx[..., None] + zero_y, wy, wz[..., None] + zero_y, hf, SEED_FILL_CAVE_BIOME
+    # cave-biome post-process runs for solid, non-pre-processed blocks.
+    # Evaluated on the y < CAVE_BIOME_Y_MAX band only: getCaveBiome's weight scan
+    # (biomeFuncs.hpp:201-219) visits NONE first with weight == the `none` noise
+    # channel, which is smoothstep(...)==1.0 exactly whenever the warped sample
+    # py >= none_start; py >= wy - 24*0.875 and none_start <= top_h - 19 + 23*0.875
+    # with top_h <= 128 + 0.15*(384-128), so every y >= 192 deterministically picks
+    # CaveBiome::NONE — and NONE post-process is the identity (biomeFuncs.hpp:594).
+    yb = CAVE_BIOME_Y_MAX
+    zero_b = zero_y[..., :yb]
+    cave_biome_band = get_cave_biome(
+        wx[..., None] + zero_b, wy[..., :yb], wz[..., None] + zero_b, hf,
+        SEED_FILL_CAVE_BIOME,
     )
-    cave_post = _cave_biome_postprocess(
-        block, cave_biome_fill, wxf, wyf, wzf, bottom_d, top_d
+    cave_post_band = _cave_biome_postprocess(
+        block[..., :yb], cave_biome_band, wxf, wyf[..., :yb], wzf,
+        bottom_d[..., :yb], top_d[..., :yb],
     )
-    block = jnp.where(solid_mask & ~pre_hit, cave_post, block)
+    block_band = jnp.where(
+        (solid_mask & ~pre_hit)[..., :yb], cave_post_band, block[..., :yb]
+    )
+    block = jnp.concatenate([block_band, block[..., yb:]], axis=-1)
 
     return block
