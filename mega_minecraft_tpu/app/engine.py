@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..render import brickmap, camera, denoise, sky, tonemap, tracer
-from ..terrain.scheduler import ChunkState, TerrainScheduler
+from ..terrain.scheduler import ChunkState, TerrainScheduler, make_scheduler
 from ..utils import profiling
 
 
@@ -37,6 +37,7 @@ class EngineConfig:
     use_denoising: bool = True  # reference USE_DENOISING (defines.hpp:11)
     use_upscaling: bool = False  # reference USE_UPSCALING (defines.hpp:12):
     # path-trace at half resolution, denoise, 2× upscale at present (~4× fewer rays)
+    native_scheduler: bool | None = None  # None = use the C++ core when available
 
 
 class Engine:
@@ -45,10 +46,11 @@ class Engine:
     def __init__(self, cfg: EngineConfig | None = None):
         self.cfg = cfg or EngineConfig()
         self.player = camera.Player()
-        self.scheduler = TerrainScheduler(
+        self.scheduler = make_scheduler(
             capacity=self.cfg.capacity,
             radius=self.cfg.gen_radius,
             skip_erosion=self.cfg.skip_erosion,
+            native=self.cfg.native_scheduler,
         )
         n = self.cfg.view_chunks
         half = n // 2
@@ -93,7 +95,7 @@ class Engine:
         # batch spatially: update per chunk (regions merged by the DT resweep window)
         t = sched.t
         for p in new:
-            slot = t.slot_of[p]
+            slot = sched.slot_for(p)
             blocks = t.d_blocks[slot]  # [16, 16, 384] u8 ([z, x, y])
             z0 = (p[1] - self.window_origin[1]) * 16
             x0 = (p[0] - self.window_origin[0]) * 16
@@ -185,7 +187,7 @@ class Engine:
             "sun_time": self.sun_time,
             "time_paused": self.time_paused,
             "chunks": sorted(
-                [list(map(int, p)) for p, s in self.scheduler.t.slot_of.items()]
+                [list(map(int, p)) for p in self.scheduler.loaded_chunks()]
             ),
         }
         with open(path, "w") as f:

@@ -156,6 +156,83 @@ def _stage_fill(d_hf, d_w, d_layers, cs_b, ce_b, cb_b, d_sf, d_cf, slots, nslots
     return blocks
 
 
+# ---------------------------------------------------------------------------
+# Stage dispatchers: pad a batch and run the jitted stage program against the
+# slot table.  Shared by the pure-Python scheduler below and the native-core
+# scheduler (C++ state machine, native/scheduler.cpp) at the bottom of this file.
+# ---------------------------------------------------------------------------
+
+
+def _pad_np(arr, n):
+    if len(arr) == n:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], n - len(arr), axis=0)])
+
+
+def dispatch_heightfield(t, slots_np, pos_np):
+    sl = jnp.asarray(_pad_np(slots_np, STAGE_BATCH))
+    pos = jnp.asarray(_pad_np(pos_np, STAGE_BATCH))
+    t.d_heightfield, t.d_weights = _stage_heightfield(
+        t.d_heightfield, t.d_weights, sl, pos
+    )
+
+
+def dispatch_layers(t, slots_np, pos_np, nslots_np, fix_backward: bool):
+    sl = jnp.asarray(_pad_np(slots_np, STAGE_BATCH))
+    pos = jnp.asarray(_pad_np(pos_np, STAGE_BATCH))
+    nslots = jnp.asarray(_pad_np(nslots_np, STAGE_BATCH))
+    t.d_layers = _stage_layers(
+        t.d_layers, t.d_heightfield, t.d_weights, nslots, sl, pos,
+        fix_backward=fix_backward,
+    )
+
+
+def dispatch_erosion(t, gslots_np):
+    t.d_layers = _stage_erosion(t.d_layers, t.d_heightfield, jnp.asarray(gslots_np))
+
+
+def dispatch_caves(t, slots_np, pos_np):
+    sl = jnp.asarray(_pad_np(slots_np, STAGE_BATCH))
+    pos = jnp.asarray(_pad_np(pos_np, STAGE_BATCH))
+    cs, ce, cb, ct = _stage_caves(t.d_heightfield, t.d_weights, sl, pos)
+    t.d_cave_starts = t.d_cave_starts.at[sl].set(cs)
+    t.d_cave_ends = t.d_cave_ends.at[sl].set(ce)
+    t.d_cave_bottom = t.d_cave_bottom.at[sl].set(cb)
+    t.d_cave_top = t.d_cave_top.at[sl].set(ct)
+
+
+def dispatch_feature_placements(t, slots_np, pos_np):
+    sl = jnp.asarray(_pad_np(slots_np, STAGE_BATCH))
+    pos = jnp.asarray(_pad_np(pos_np, STAGE_BATCH))
+    lists = _stage_feature_placements(
+        t.d_heightfield, t.d_weights, t.d_layers,
+        t.d_cave_starts[sl].astype(jnp.int32),
+        t.d_cave_ends[sl].astype(jnp.int32),
+        t.d_cave_bottom[sl].astype(jnp.int32),
+        t.d_cave_top[sl].astype(jnp.int32),
+        sl, pos,
+    )
+    for k in t.d_sf:
+        t.d_sf[k] = t.d_sf[k].at[sl].set(lists["surface"][k])
+    for k in t.d_cf:
+        t.d_cf[k] = t.d_cf[k].at[sl].set(lists["cave"][k])
+
+
+def dispatch_fill(t, slots_np, pos_np, nbslots_np):
+    sl = jnp.asarray(_pad_np(slots_np, STAGE_BATCH))
+    pos = jnp.asarray(_pad_np(pos_np, STAGE_BATCH))
+    nsl = jnp.asarray(_pad_np(nbslots_np, STAGE_BATCH))
+    blocks = _stage_fill(
+        t.d_heightfield, t.d_weights, t.d_layers,
+        t.d_cave_starts[sl].astype(jnp.int32),
+        t.d_cave_ends[sl].astype(jnp.int32),
+        t.d_cave_bottom[sl].astype(jnp.int32),
+        t.d_sf, t.d_cf,
+        sl, nsl, pos,
+    )
+    t.d_blocks = t.d_blocks.at[sl].set(blocks)
+
+
 def generate_spiral() -> np.ndarray:
     """Spiral scan offsets (terrain.cpp:220-252)."""
     out = []
@@ -368,11 +445,7 @@ class TerrainScheduler:
         batch = self._pop_batch("heightfield", ACTION_TIME["heightfield"])
         if not batch:
             return
-        sl = jnp.asarray(self._pad(self._slots(batch), STAGE_BATCH))
-        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        self.t.d_heightfield, self.t.d_weights = _stage_heightfield(
-            self.t.d_heightfield, self.t.d_weights, sl, pos
-        )
+        dispatch_heightfield(self.t, self._slots(batch), np.array(batch, I32) * 16)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.HAS_HEIGHTFIELD)
 
@@ -393,17 +466,8 @@ class TerrainScheduler:
             for dz in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     nslots[i, dz + 1, dx + 1] = self.t.slot_of[(cx + dx, cz + dz)]
-        nslots = jnp.asarray(self._pad(nslots, STAGE_BATCH))
-        slots = self._slots(batch)
-        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
-        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        self.t.d_layers = _stage_layers(
-            self.t.d_layers,
-            self.t.d_heightfield,
-            self.t.d_weights,
-            nslots,
-            sl,
-            pos,
+        dispatch_layers(
+            self.t, self._slots(batch), np.array(batch, I32) * 16, nslots,
             fix_backward=self.skip_erosion,
         )
         if self.skip_erosion:
@@ -440,9 +504,7 @@ class TerrainScheduler:
                 gslots[iz, ix] = self.t.slot_of[(zx + ix - half, zz + iz - half)]
         # one dispatch: gather 24×24 → erode → scatter core + backward-stratified fix
         # (chunk.cu:717-720)
-        self.t.d_layers = _stage_erosion(
-            self.t.d_layers, self.t.d_heightfield, jnp.asarray(gslots)
-        )
+        dispatch_erosion(self.t, gslots)
         for iz in range(ZONE_SIZE):
             for ix in range(ZONE_SIZE):
                 p = (zx + ix, zz + iz)
@@ -452,15 +514,7 @@ class TerrainScheduler:
         batch = self._pop_batch("caves", ACTION_TIME["caves"])
         if not batch:
             return
-        slots = self._slots(batch)
-        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
-        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        t = self.t
-        cs, ce, cb, ct = _stage_caves(t.d_heightfield, t.d_weights, sl, pos)
-        t.d_cave_starts = t.d_cave_starts.at[sl].set(cs)
-        t.d_cave_ends = t.d_cave_ends.at[sl].set(ce)
-        t.d_cave_bottom = t.d_cave_bottom.at[sl].set(cb)
-        t.d_cave_top = t.d_cave_top.at[sl].set(ct)
+        dispatch_caves(self.t, self._slots(batch), np.array(batch, I32) * 16)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_FEATURE_PLACEMENTS)
 
@@ -468,22 +522,7 @@ class TerrainScheduler:
         batch = self._pop_batch("feature_placements", ACTION_TIME["feature_placements"])
         if not batch:
             return
-        slots = self._slots(batch)
-        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
-        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
-        t = self.t
-        lists = _stage_feature_placements(
-            t.d_heightfield, t.d_weights, t.d_layers,
-            t.d_cave_starts[sl].astype(jnp.int32),
-            t.d_cave_ends[sl].astype(jnp.int32),
-            t.d_cave_bottom[sl].astype(jnp.int32),
-            t.d_cave_top[sl].astype(jnp.int32),
-            sl, pos,
-        )
-        for k in t.d_sf:
-            t.d_sf[k] = t.d_sf[k].at[sl].set(lists["surface"][k])
-        for k in t.d_cf:
-            t.d_cf[k] = t.d_cf[k].at[sl].set(lists["cave"][k])
+        dispatch_feature_placements(self.t, self._slots(batch), np.array(batch, I32) * 16)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.NEEDS_GATHER_FEATURE_PLACEMENTS)
 
@@ -498,27 +537,14 @@ class TerrainScheduler:
         batch = self._pop_batch("fill", ACTION_TIME["fill"])
         if not batch:
             return
-        slots = self._slots(batch)
-        sl = jnp.asarray(self._pad(slots, STAGE_BATCH))
-        pos = jnp.asarray(self._pad(np.array(batch, I32) * 16, STAGE_BATCH))
         # 49-chunk neighborhood slot table for the feature gather (chunk.cu:1158-1196)
         nb_slots = np.empty((len(batch), len(fp.GATHER_OFFSETS)), I32)
         for bi, p in enumerate(batch):
             for oi, o in enumerate(fp.GATHER_OFFSETS):
                 nb_slots[bi, oi] = self.t.slot_of[(p[0] + int(o[0]), p[1] + int(o[1]))]
-        nsl = jnp.asarray(self._pad(nb_slots, STAGE_BATCH))
-        t = self.t
         # ONE dispatch: fill + feature gather/apply + decorators (padded duplicates
         # recompute identical volumes, so their duplicate scatter writes are benign)
-        blocks = _stage_fill(
-            t.d_heightfield, t.d_weights, t.d_layers,
-            t.d_cave_starts[sl].astype(jnp.int32),
-            t.d_cave_ends[sl].astype(jnp.int32),
-            t.d_cave_bottom[sl].astype(jnp.int32),
-            t.d_sf, t.d_cf,
-            sl, nsl, pos,
-        )
-        t.d_blocks = t.d_blocks.at[sl].set(blocks)
+        dispatch_fill(self.t, self._slots(batch), np.array(batch, I32) * 16, nb_slots)
         for p in batch:
             self.t.state[self.t.slot_of[p]] = int(ChunkState.FILLED)
         # FILLED chunks whose 4-neighborhood is FILLED become NEEDS_VBOS
@@ -612,3 +638,169 @@ class TerrainScheduler:
 
     def drawable_count(self) -> int:
         return int((self.t.state == int(ChunkState.DRAWABLE)).sum())
+
+    def slot_for(self, pos) -> int:
+        return self.t.slot_of.get(tuple(pos), -1)
+
+    def loaded_chunks(self) -> list:
+        return list(self.t.slot_of)
+
+
+# ---------------------------------------------------------------------------
+# Native-core scheduler: the C++ state machine (native/scheduler.cpp) plans each
+# frame's batches; Python only executes the jitted device stages.
+# ---------------------------------------------------------------------------
+
+
+class NativeTerrainScheduler:
+    """TerrainScheduler drop-in whose host logic (chunk table, state machine, work
+    queues, action-time budget, zone readiness, eviction) runs in the native C++
+    core — the runtime analogue of the reference's C++ Terrain class
+    (/root/reference/src/terrain/terrain.cpp).  Each ``tick`` executes the core's
+    flat batch plan against the device slot arrays via the shared dispatchers."""
+
+    def __init__(
+        self,
+        capacity: int = 8192,
+        radius: int | None = None,
+        skip_erosion: bool = False,
+    ):
+        from ..native import sched as nsched
+
+        self._ns = nsched
+        self.skip_erosion = skip_erosion
+        self.t = TerrainState(capacity)  # device arrays; host mirrors unused
+        self.core = nsched.NativeSchedulerCore(capacity, radius, skip_erosion)
+        self.newly_filled: list = []
+        self.vbos_destroyed: list = []
+        self.timer = None
+
+    # -- engine surface ------------------------------------------------
+
+    def set_player_pos(self, x: float, z: float):
+        self.core.set_player_chunk(
+            int(np.floor(x / 16.0)), int(np.floor(z / 16.0))
+        )
+
+    def destroy_far_vbos(self):
+        self.vbos_destroyed.extend(self.core.destroy_far_vbos())
+
+    def slot_for(self, pos) -> int:
+        return self.core.slot_of(int(pos[0]), int(pos[1]))
+
+    def loaded_chunks(self) -> list:
+        st, cx, cz, iu = self.core.snapshot()
+        idx = np.where(iu != 0)[0]
+        return [(int(cx[i]), int(cz[i])) for i in idx]
+
+    def drawable_count(self) -> int:
+        return self.core.drawable_count()
+
+    def _timed(self, name, fn):
+        if self.timer is None:
+            return fn()
+        with self.timer.stage(name):
+            return fn()
+
+    def tick(self, dt: float):
+        plan = self.core.tick(dt)
+        ns = self._ns
+        t = self.t
+        i = 0
+        while i < len(plan) and plan[i] != -1:
+            st = int(plan[i])
+            n = int(plan[i + 1])
+            i += 2
+            if st == ns.ST_VBOS:
+                rec = plan[i : i + 3 * n].reshape(n, 3)
+                i += 3 * n
+                self.newly_filled.extend((int(r[1]), int(r[2])) for r in rec)
+            elif st == ns.ST_FILL:
+                w = 3 + 49
+                rec = plan[i : i + w * n].reshape(n, w)
+                i += w * n
+                self._timed(
+                    "fill",
+                    lambda r=rec: dispatch_fill(
+                        t, r[:, 0].copy(), r[:, 1:3] * 16, r[:, 3:].copy()
+                    ),
+                )
+            elif st == ns.ST_GATHER_FEATURES or st == ns.ST_GATHER_HEIGHTFIELD:
+                i += n  # state-only transitions; already applied in the core
+            elif st == ns.ST_FEATURE_PLACEMENTS:
+                rec = plan[i : i + 3 * n].reshape(n, 3)
+                i += 3 * n
+                self._timed(
+                    "feature_placements",
+                    lambda r=rec: dispatch_feature_placements(
+                        t, r[:, 0].copy(), r[:, 1:3] * 16
+                    ),
+                )
+            elif st == ns.ST_CAVES:
+                rec = plan[i : i + 3 * n].reshape(n, 3)
+                i += 3 * n
+                self._timed(
+                    "caves",
+                    lambda r=rec: dispatch_caves(t, r[:, 0].copy(), r[:, 1:3] * 16),
+                )
+            elif st == ns.ST_EROSION:
+                gslots = plan[i : i + 576].reshape(24, 24).copy()
+                i += 576
+                self._timed("erosion", lambda g=gslots: dispatch_erosion(t, g))
+            elif st == ns.ST_LAYERS:
+                w = 3 + 9
+                rec = plan[i : i + w * n].reshape(n, w)
+                i += w * n
+                self._timed(
+                    "layers",
+                    lambda r=rec: dispatch_layers(
+                        t, r[:, 0].copy(), r[:, 1:3] * 16,
+                        r[:, 3:].reshape(n, 3, 3).copy(),
+                        fix_backward=self.skip_erosion,
+                    ),
+                )
+            elif st == ns.ST_HEIGHTFIELD:
+                rec = plan[i : i + 3 * n].reshape(n, 3)
+                i += 3 * n
+                self._timed(
+                    "heightfield",
+                    lambda r=rec: dispatch_heightfield(
+                        t, r[:, 0].copy(), r[:, 1:3] * 16
+                    ),
+                )
+            else:
+                raise RuntimeError(f"unknown plan stage {st}")
+
+    def drain(self, max_frames: int = 100000, dt: float = 1.0 / 60.0) -> int:
+        """Tick until all queues are empty and no state changes remain (mirrors
+        TerrainScheduler.drain)."""
+        frames = 0
+        idle = 0
+        while idle < 3 and frames < max_frames:
+            before = self.core.snapshot()[0].tobytes()
+            self.tick(dt)
+            frames += 1
+            busy = self.core.queues_busy()
+            if not busy and self.core.snapshot()[0].tobytes() == before:
+                idle += 1
+                self.core.force_update()
+            else:
+                idle = 0
+        return frames
+
+
+def make_scheduler(
+    capacity: int = 8192,
+    radius: int | None = None,
+    skip_erosion: bool = False,
+    native: bool | None = None,
+):
+    """Build the native-core scheduler when the toolchain is available (or
+    ``native=True``), else the pure-Python one.  ``native=None`` = auto."""
+    if native is None:
+        from ..native import sched as nsched
+
+        native = nsched.available()
+    if native:
+        return NativeTerrainScheduler(capacity, radius, skip_erosion)
+    return TerrainScheduler(capacity, radius, skip_erosion)

@@ -1,0 +1,123 @@
+"""Plan-for-plan parity between the pure-Python scheduler and the native C++ core.
+
+The C++ core (native/scheduler.cpp) re-implements TerrainScheduler's host logic
+(spiral window, state machine, queues, action-time budget, zone readiness, VBO
+eviction — reference behavior /root/reference/src/terrain/terrain.cpp); these tests
+drive both over identical scripted fly-throughs with the device dispatchers stubbed
+out and assert identical state evolution and dispatch sequences.
+"""
+
+import numpy as np
+import pytest
+
+from mega_minecraft_tpu.native import sched as nsched
+from mega_minecraft_tpu.terrain import scheduler as sched_mod
+from mega_minecraft_tpu.terrain.scheduler import (
+    ChunkState,
+    NativeTerrainScheduler,
+    TerrainScheduler,
+)
+
+pytestmark = pytest.mark.skipif(
+    not nsched.available(), reason="native scheduler core unavailable"
+)
+
+
+class DispatchRecorder:
+    """Replaces the jitted stage dispatchers with order/argument recorders."""
+
+    def __init__(self, monkeypatch):
+        self.calls = []
+        for name in (
+            "dispatch_heightfield",
+            "dispatch_layers",
+            "dispatch_erosion",
+            "dispatch_caves",
+            "dispatch_feature_placements",
+            "dispatch_fill",
+        ):
+            monkeypatch.setattr(sched_mod, name, self._make(name))
+
+    def _make(self, name):
+        def fn(t, *args, **kwargs):
+            rec = [name]
+            for a in args:
+                rec.append(np.asarray(a).astype(np.int64).tolist())
+            for k in sorted(kwargs):
+                rec.append((k, kwargs[k]))
+            self.calls.append(tuple(map(str, rec)))
+
+        return fn
+
+
+def drive(s, script):
+    """script: list of ((x, z), n_ticks) player positions."""
+    for (x, z), n in script:
+        s.set_player_pos(x, z)
+        for _ in range(n):
+            s.destroy_far_vbos()
+            s.tick(1.0 / 60.0)
+
+
+def snap_py(s):
+    return s.t.state.tobytes()
+
+
+def snap_native(s):
+    return s.core.snapshot()[0].tobytes()
+
+
+SCRIPT = [((0.0, 0.0), 120), ((90.0, 40.0), 80), ((300.0, -120.0), 120)]
+
+
+@pytest.mark.parametrize("skip_erosion,radius", [(True, 6), (False, 20)])
+def test_parity_states_and_dispatches(monkeypatch, skip_erosion, radius):
+    rec_py = DispatchRecorder(monkeypatch)
+    py = TerrainScheduler(capacity=4096, radius=radius, skip_erosion=skip_erosion)
+    drive(py, SCRIPT)
+    calls_py = rec_py.calls
+
+    rec_nat = DispatchRecorder(monkeypatch)
+    nat = NativeTerrainScheduler(capacity=4096, radius=radius, skip_erosion=skip_erosion)
+    drive(nat, SCRIPT)
+    calls_nat = rec_nat.calls
+
+    assert len(calls_py) == len(calls_nat)
+    for a, b in zip(calls_py, calls_nat):
+        assert a == b
+    assert snap_py(py) == snap_native(nat)
+    assert py.newly_filled == nat.newly_filled
+    assert py.vbos_destroyed == nat.vbos_destroyed
+    assert py.drawable_count() == nat.drawable_count()
+    # slot assignment parity for every loaded chunk
+    for p in py.loaded_chunks():
+        assert py.slot_for(p) == nat.slot_for(p)
+    assert sorted(py.loaded_chunks()) == sorted(nat.loaded_chunks())
+
+
+def test_drain_parity(monkeypatch):
+    # radius 8: the center chunk has the full 13x13 feature-gather neighborhood and
+    # 4 filled neighbors, so a drain produces a non-trivial DRAWABLE set
+    DispatchRecorder(monkeypatch)
+    py = TerrainScheduler(capacity=1024, radius=8, skip_erosion=True)
+    py.set_player_pos(0.0, 0.0)
+    f_py = py.drain()
+
+    DispatchRecorder(monkeypatch)
+    nat = NativeTerrainScheduler(capacity=1024, radius=8, skip_erosion=True)
+    nat.set_player_pos(0.0, 0.0)
+    f_nat = nat.drain()
+
+    assert f_py == f_nat
+    assert snap_py(py) == snap_native(nat)
+    assert py.drawable_count() == nat.drawable_count() > 0
+
+
+def test_budget_accounting_matches():
+    nat = NativeTerrainScheduler(capacity=512, radius=2, skip_erosion=True)
+    nat.set_player_pos(0.0, 0.0)
+    py = TerrainScheduler(capacity=512, radius=2, skip_erosion=True)
+    py.set_player_pos(0.0, 0.0)
+    # dispatchers hit the device here (radius 2 -> tiny batches) is avoided by
+    # only comparing budget after the first empty-window tick
+    assert nat.core.action_time_left() == py.action_time_left == 0.0
