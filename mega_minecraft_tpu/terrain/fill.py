@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import hashes
 from ..ops.noise import fbm2, fbm3_from3, simplex2, simplex3, worley3
@@ -307,15 +308,28 @@ def fill_chunks(heightfield, biome_weights, layers, cave_starts, cave_ends, chun
     wxf = wx.astype(F32)
     wzf = wz.astype(F32)
 
-    # per-block seeded RNG: first u01 draw picks the random biome (chunk.cu:1433-1436)
+    # per-block seeded RNG: first u01 draw picks the random biome (chunk.cu:1433-1436).
+    # The weighted pick unrolls over the 24 biomes with [.., Y]-shaped selects (the
+    # y axis is the 3x128-lane minor dim) instead of a trailing-24 cumsum/argmax,
+    # whose 24-wide minor axis runs the VPU at ~1/6 lane utilization.
     state = hashes.seed_3(wx[..., None] + zero_y, wy, wz[..., None] + zero_y)
     u, _ = hashes.lcg_u01(state)
-    w_last = jnp.moveaxis(biome_weights, 1, -1)  # [B, 16, 16, 24]
-    rand_biome = random_biome(w_last[..., None, :], u)  # [B, 16, 16, Y]
+    grass_tab = np.asarray(bio.GRASS_BLOCKS)
+    running = jnp.zeros((B, 16, 16, 1), F32)
+    rand_biome = jnp.full((B, 16, 16, Y_SIZE), I32(int(bio.Biome.PLAINS)))
+    picked = jnp.zeros((B, 16, 16, Y_SIZE), bool)
+    grass = jnp.full((B, 16, 16, Y_SIZE), U8(int(grass_tab[int(bio.Biome.PLAINS)])))
+    for b in range(bio.NUM_BIOMES):
+        running = running + biome_weights[:, b, :, :, None]
+        cond = (u - running) <= F32(0.0)
+        take = cond & ~picked
+        rand_biome = jnp.where(take, I32(b), rand_biome)
+        grass = jnp.where(take, U8(int(grass_tab[b])), grass)
+        picked = picked | cond
 
     is_ocean = jnp.any(
-        w_last[..., : bio.NUM_OCEAN_BIOMES] > F32(0.0), axis=-1, keepdims=True
-    )  # [B, 16, 16, 1]
+        biome_weights[:, : bio.NUM_OCEAN_BIOMES] > F32(0.0), axis=1
+    )[..., None]  # [B, 16, 16, 1]
 
     in_cave, bottom_d, top_d = _cave_depths(
         cave_starts[..., None, :], cave_ends[..., None, :], wy[..., None]
@@ -325,21 +339,26 @@ def fill_chunks(heightfield, biome_weights, layers, cave_starts, cave_ends, chun
     is_top = wyf >= hf - F32(1.0)
 
     # --- terrain body block (layer lookup + grass) ---
+    # first material layer containing y wins (chunk.cu:1296-1330), unrolled over the
+    # 20 materials with [.., Y]-shaped selects (see the biome-pick note above; the
+    # trailing-20 in_layer/argmax formulation ran ~10x slower on the VPU)
     n_fwd = bio.NUM_FORWARD_MATERIALS
-    layer_starts = jnp.moveaxis(layers, 1, -1)  # [B, 16, 16, 20]
-    ls = layer_starts[..., None, :]  # [B, 16, 16, 1, 20]
-    yq = wyf[..., None]
-    layer_ends = jnp.concatenate([layer_starts[..., 1:], hf], axis=-1)[..., None, :]
-    in_layer = (ls <= yq) & (yq < layer_ends)
+    mat_block = np.asarray(bio.MATERIAL_BLOCK)
     # search-start restriction (chunk.cu:1303-1311): skip forward materials when
     # y is at/above the backward-stratified base
-    fwd_ok = wyf < layer_starts[..., n_fwd][..., None]
-    lane = jnp.arange(bio.NUM_MATERIALS, dtype=I32)
-    in_layer = in_layer & ((lane >= n_fwd) | fwd_ok[..., None])
-    layer_idx = jnp.argmax(in_layer, axis=-1)
-    body = jnp.asarray(bio.MATERIAL_BLOCK, I32)[layer_idx].astype(U8)
+    fwd_ok = wyf < layers[:, n_fwd, :, :, None]
+    body = jnp.full((B, 16, 16, Y_SIZE), U8(int(mat_block[0])))
+    found = jnp.zeros((B, 16, 16, Y_SIZE), bool)
+    for m in range(bio.NUM_MATERIALS):
+        start = layers[:, m, :, :, None]
+        end = layers[:, m + 1, :, :, None] if m + 1 < bio.NUM_MATERIALS else hf
+        cond = (start <= wyf) & (wyf < end)
+        if m < n_fwd:
+            cond = cond & fwd_ok
+        take = cond & ~found
+        body = jnp.where(take, U8(int(mat_block[m])), body)
+        found = found | take
 
-    grass = jnp.asarray(bio.GRASS_BLOCKS, I32)[rand_biome].astype(U8)
     body = jnp.where((body == _u8(_B.DIRT)) & is_top, grass, body)
 
     pre_hit = _biome_preprocess_hit(rand_biome, wxf, wyf, wzf, hf)
