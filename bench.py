@@ -40,9 +40,12 @@ def main():
 
     run_once()  # warm (compile)
     t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = run_once()
+    reps = 8
+    # chain dispatches and sync once at the end: each host sync costs a full
+    # tunnel round-trip (~10-20 ms) that would otherwise dominate the measurement
+    for _ in range(reps - 1):
+        pipeline.generate_area_fused(pos_h, n, n)
+    run_once()
     dt = (time.time() - t0) / reps
     chunks_per_sec = (n * n) / dt
 

@@ -199,7 +199,8 @@ def generate_caves(heightfield, biome_weights, chunk_pos):
     )  # [B, 16, 16]
 
     # carve-noise band: y in [0, CARVE_Y_MAX) — carved caves are provably absent
-    # above (see CARVE_Y_MAX); ravine + above-surface terms are per-column
+    # above (see CARVE_Y_MAX); ravine + above-surface terms are per-column and are
+    # evaluated on a flattened [B, 256] column axis for full VPU lane utilization
     wy = ly[None, None, None, :]  # [1,1,1,384]
     wxf = wx[..., None].astype(F32)
     wzf = wz[..., None].astype(F32)
@@ -212,7 +213,12 @@ def generate_caves(heightfield, biome_weights, chunk_pos):
     above_surface = wy.astype(F32) > jnp.maximum(
         jnp.floor(heightfield[..., None]), F32(bio.SEA_LEVEL)
     )
-    ravine = wy.astype(F32) > _ravine_min_y(wxf, wzf, ocean_beach[..., None])
+    rav_min_y = _ravine_min_y(
+        wx.astype(F32).reshape(B, 256),
+        wz.astype(F32).reshape(B, 256),
+        ocean_beach.reshape(B, 256),
+    ).reshape(B, 16, 16)
+    ravine = wy.astype(F32) > rav_min_y[..., None]
     cave = above_surface | carved | ravine
     cave = jnp.logical_and(wy != 0, cave)  # [B, 16, 16, 384]; True = air
 
@@ -231,15 +237,18 @@ def generate_caves(heightfield, biome_weights, chunk_pos):
     starts = jnp.where(starts >= I32(Y_SIZE), I32(Y_SIZE), starts)
     ends = jnp.where(ends >= I32(Y_SIZE), I32(Y_SIZE), ends)
 
-    # cave biomes at layer boundaries
-    max_h = heightfield[..., None]
-    wxl = wx[..., None]
-    wzl = wz[..., None]
+    # cave biomes at layer boundaries — evaluated on a flattened [B, 16, 512] layout
+    # (the raw [B, 16, 16, 32] puts 32 on the 128-lane axis -> 1/4 utilization)
+    shape4 = (B, 16, 16, MAX_LAYERS)
+    flat = lambda a: jnp.broadcast_to(a, shape4).reshape(B, 16, 16 * MAX_LAYERS)
+    max_h = flat(heightfield[..., None])
+    wxl = flat(wx[..., None])
+    wzl = flat(wz[..., None])
     valid_start = starts != I32(Y_SIZE)
-    bottom = get_cave_biome(wxl, starts, wzl, max_h, SEED_BOTTOM_BIOME)
+    bottom = get_cave_biome(wxl, flat(starts), wzl, max_h, SEED_BOTTOM_BIOME).reshape(shape4)
     bottom = jnp.where(valid_start, bottom, I32(0))
     valid_end = ends != I32(Y_SIZE)
-    top = get_cave_biome(wxl, ends + I32(1), wzl, max_h, SEED_TOP_BIOME)
+    top = get_cave_biome(wxl, flat(ends + I32(1)), wzl, max_h, SEED_TOP_BIOME).reshape(shape4)
     top = jnp.where(valid_end, top, I32(int(bio.CaveBiome.NONE)))
 
     return {"starts": starts, "ends": ends, "bottom_biome": bottom, "top_biome": top}

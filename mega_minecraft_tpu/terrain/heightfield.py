@@ -71,14 +71,23 @@ def biome_weights_from_noise(noise6):
 
     noise6: [..., 6]  ->  [..., NUM_BIOMES]
     weight_b = Π_c f(noise_c) with f = id / (1-x) / 1 per the weight-type table
-    (biomeFuncs.hpp:158-185).
+    (biomeFuncs.hpp:158-185).  The product unrolls statically per biome in the
+    reference's sequential channel order (getBiomeWeight, biomeFuncs.hpp:170-185) —
+    ignored channels are skipped instead of multiplying by 1, and no [.., 24, 6]
+    intermediate (whose 6-wide minor axis wastes the VPU's 128 lanes) is formed.
     """
-    table = jnp.asarray(bio.BIOME_NOISE_WEIGHTS)  # [24, 6] in {0(ignore),1(pos),2(neg)}
-    n = noise6[..., None, :]  # [..., 1, 6]
-    factor = jnp.where(
-        table == 1, n, jnp.where(table == 2, F32(1.0) - n, F32(1.0))
-    )  # [..., 24, 6]
-    return jnp.prod(factor, axis=-1)
+    table = np.asarray(bio.BIOME_NOISE_WEIGHTS)  # [24, 6] in {0(ignore),1(pos),2(neg)}
+    cols = []
+    for b in range(bio.NUM_BIOMES):
+        w = None
+        for c in range(table.shape[1]):
+            t = int(table[b, c])
+            if t == 0:
+                continue
+            term = noise6[..., c] if t == 1 else F32(1.0) - noise6[..., c]
+            w = term if w is None else w * term
+        cols.append(jnp.ones(noise6.shape[:-1], F32) if w is None else w)
+    return jnp.stack(cols, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -300,8 +309,13 @@ def generate_heightfield(chunk_pos, biome_override: int | None = None):
       biome_weights [B, 24, 16, 16] f32.
     """
     wx, wz = column_world_coords(chunk_pos)
-    noise6 = biome_noise(wx, wz)  # [B, 16, 16, 6]
-    weights = biome_weights_from_noise(noise6)  # [B, 16, 16, 24]
+    B = wx.shape[0]
+    # flatten columns to [B, 256]: the 2x128-lane minor axis runs the VPU at full
+    # utilization (a [B, 16, 16] layout puts 16 on the lane axis -> 1/8 utilization)
+    wx = jnp.broadcast_to(wx, (B, 16, 16)).reshape(B, 256)
+    wz = jnp.broadcast_to(wz, (B, 16, 16)).reshape(B, 256)
+    noise6 = biome_noise(wx, wz)  # [B, 256, 6]
+    weights = biome_weights_from_noise(noise6)  # [B, 256, 24]
     if biome_override is not None:
         onehot = jnp.zeros((bio.NUM_BIOMES,), F32).at[int(biome_override)].set(1.0)
         weights = jnp.broadcast_to(onehot, weights.shape)
@@ -311,7 +325,10 @@ def generate_heightfield(chunk_pos, biome_override: int | None = None):
         w = weights[..., int(biome)]
         height = height + jnp.where(w > F32(0.0), w * fn(wx, wz), F32(0.0))
 
-    return height, jnp.moveaxis(weights, -1, 1)
+    return (
+        height.reshape(B, 16, 16),
+        jnp.moveaxis(weights, -1, 1).reshape(B, 24, 16, 16),
+    )
 
 
 def heightfield_single(chunk_x: int, chunk_z: int):

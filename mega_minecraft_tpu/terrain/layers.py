@@ -75,10 +75,14 @@ def generate_layers(gathered_hf, biome_weights, chunk_pos):
     lx = jnp.arange(16, dtype=jnp.int32)
     wx = (chunk_pos[:, 0, None, None] + lx[None, None, :]).astype(F32)
     wz = (chunk_pos[:, 1, None, None] + lx[None, :, None]).astype(F32)
+    B = wx.shape[0]
+    # flatten columns to [B, 256] for full VPU lane utilization (see heightfield.py)
+    wx = jnp.broadcast_to(wx, (B, 16, 16)).reshape(B, 256)
+    wz = jnp.broadcast_to(wz, (B, 16, 16)).reshape(B, 256)
 
-    tmw = total_material_weights(biome_weights)  # [B, 20, 16, 16]
-    slope = max_slope(gathered_hf)  # [B, 16, 16]
-    max_height = gathered_hf[:, 1:17, 1:17]
+    tmw = total_material_weights(biome_weights).reshape(B, bio.NUM_MATERIALS, 256)
+    slope = max_slope(gathered_hf).reshape(B, 256)
+    max_height = gathered_hf[:, 1:17, 1:17].reshape(B, 256)
 
     n_fwd = bio.NUM_FORWARD_MATERIALS  # 10
     n_strat = bio.NUM_STRATIFIED_MATERIALS  # 12
@@ -108,7 +112,7 @@ def generate_layers(gathered_hf, biome_weights, chunk_pos):
         height = height - layer_h
         out[l] = height
 
-    return jnp.stack(out, axis=1)
+    return jnp.stack(out, axis=1).reshape(B, n_mat, 16, 16)
 
 
 def fix_backward_stratified(layers):
