@@ -56,11 +56,13 @@ class Engine:
         half = n // 2
         self.window_origin = (-half, -half)  # chunk coords of scene corner
         side = n * 16
-        empty_val = (brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP) | (
-            brickmap.DIST_CAP << 8
+        empty_val = (
+            (brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP)
+            | (brickmap.DIST_CAP << 8)
+            | (brickmap.DIST_CAP << 16)
         )
         self.scene = brickmap.Scene(
-            field=jnp.full((side, side, 384), empty_val, jnp.uint16),
+            field=jnp.full((side, side, 384), empty_val, jnp.int32),
             origin=jnp.asarray(
                 np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
             ),
@@ -213,6 +215,51 @@ class Engine:
         if regenerate:
             self.scheduler.drain()
             self._upload_new_chunks()
+
+    # -- debug dumps (the reference's O/V/L hotkeys: debugPrintCurrentChunkInfo /
+    #    debugPrintCurrentZoneInfo / debugPrintCurrentColumnLayers,
+    #    terrain.cpp:1043-1144; key routing main.cpp:391-431).  The 'X' hotkey
+    #    (force heightfield re-gather) has no analogue: halos are recomputed from
+    #    noise, never gathered. ------------------------------------------------
+
+    def _current_chunk(self):
+        return (
+            int(np.floor(self.player.pos[0] / 16.0)),
+            int(np.floor(self.player.pos[2] / 16.0)),
+        )
+
+    def debug_chunk_info(self) -> dict:
+        """State of the chunk under the player (reference 'O' key)."""
+        pos = self._current_chunk()
+        st = self.scheduler.state_at(pos)
+        return {
+            "chunk": pos,
+            "state": ChunkState(st).name if st >= 0 else "UNLOADED",
+            "slot": self.scheduler.slot_for(pos),
+            "drawable": st == int(ChunkState.DRAWABLE),
+        }
+
+    def debug_zone_info(self) -> dict:
+        """Erosion readiness + 12x12 state grid of the player's zone ('V' key)."""
+        cx, cz = self._current_chunk()
+        zp = ((cx // 12) * 12, (cz // 12) * 12)
+        grid = [
+            [self.scheduler.state_at((zp[0] + dx, zp[1] + dz)) for dx in range(12)]
+            for dz in range(12)
+        ]
+        info = self.scheduler.zone_info(zp)
+        info.update({"zone": zp, "state_grid": grid})
+        return info
+
+    def debug_column_layers(self) -> np.ndarray:
+        """[20] material-layer start heights of the player's column ('L' key)."""
+        cx, cz = self._current_chunk()
+        slot = self.scheduler.slot_for((cx, cz))
+        if slot < 0:
+            return np.full(20, np.nan, np.float32)
+        lx = int(self.player.pos[0] - cx * 16)
+        lz = int(self.player.pos[2] - cz * 16)
+        return np.asarray(self.scheduler.t.d_layers[slot, :, lz, lx])
 
     def set_zoomed(self, zoomed: bool):
         if zoomed != self.player.zoomed:

@@ -43,33 +43,39 @@ def atrous_denoise(
     Weights: w = B3(tap) * exp(-|Δcolor|²/σc²) * exp(-|Δalbedo|²/σa²) *
     exp(-|Δnormal|²/σn²), accumulated over the 5×5 à-trous pattern with stride 2^i.
     """
-    c = jnp.asarray(color, F32)
-    alb = jnp.asarray(albedo, F32)
-    nrm = jnp.asarray(normal, F32)
+    # channels-planar [3, H, W]: the W axis lands on the VPU's 128 lanes; the
+    # interleaved [H, W, 3] layout would put 3 there (1/42 utilization) because the
+    # trailing-axis reductions/broadcasts pin the channel axis minor
+    c = jnp.moveaxis(jnp.asarray(color, F32), -1, 0)
+    alb = jnp.moveaxis(jnp.asarray(albedo, F32), -1, 0)
+    nrm = jnp.moveaxis(jnp.asarray(normal, F32), -1, 0)
+
+    def shiftp(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(1, 2))
 
     for it in range(iterations):
         stride = 1 << it
         acc = jnp.zeros_like(c)
-        wsum = jnp.zeros(c.shape[:2], F32)
+        wsum = jnp.zeros(c.shape[1:], F32)
         for ty in range(-2, 3):
             for tx in range(-2, 3):
                 k = F32(_B3[ty + 2] * _B3[tx + 2])
                 dy, dx = ty * stride, tx * stride
-                cs = _shift2(c, dy, dx)
-                als = _shift2(alb, dy, dx)
-                ns = _shift2(nrm, dy, dx)
-                dc = jnp.sum((cs - c) ** 2, axis=-1)
-                da = jnp.sum((als - alb) ** 2, axis=-1)
-                dn = jnp.sum((ns - nrm) ** 2, axis=-1)
+                cs = shiftp(c, dy, dx)
+                als = shiftp(alb, dy, dx)
+                ns = shiftp(nrm, dy, dx)
+                dc = jnp.sum((cs - c) ** 2, axis=0)
+                da = jnp.sum((als - alb) ** 2, axis=0)
+                dn = jnp.sum((ns - nrm) ** 2, axis=0)
                 w = k * jnp.exp(
                     -dc / F32(sigma_color**2)
                     - da / F32(sigma_albedo**2)
                     - dn / F32(sigma_normal**2)
                 )
-                acc = acc + cs * w[..., None]
+                acc = acc + cs * w[None]
                 wsum = wsum + w
-        c = acc / jnp.maximum(wsum, 1e-6)[..., None]
-    return c
+        c = acc / jnp.maximum(wsum, 1e-6)[None]
+    return jnp.moveaxis(c, 0, -1)
 
 
 @jax.jit

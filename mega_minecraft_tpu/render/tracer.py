@@ -121,9 +121,9 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     t_out = jnp.minimum(t_out, t_start + F32(FOG_FULL_DIST) / jnp.maximum(horiz, F32(1e-3)))
 
     flat_field = scene.field.reshape(-1)
-    med_u16 = medium.astype(jnp.uint16)
-    is_air_medium = med_u16 == jnp.uint16(AIR)
-    empty_base = jnp.uint16(EMPTY_BASE)
+    med_i32 = medium.astype(I32)
+    is_air_medium = med_i32 == I32(AIR)
+    empty_base = I32(EMPTY_BASE)
 
     ascending = dy >= F32(0.0)
 
@@ -136,14 +136,18 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
         vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
 
-        packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (u16) gather
-        val = packed & jnp.uint16(0xFF)
-        dxz = (packed >> jnp.uint16(8)).astype(F32)
+        packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (i32) gather
+        val = packed & I32(0xFF)
+        # direction-matched horizontal clearance: byte 1 (solids at-or-above) for
+        # non-descending rays, byte 2 (solids at-or-below) for descending rays
+        dxz = jnp.where(
+            ascending, (packed >> I32(8)) & I32(0xFF), (packed >> I32(16)) & I32(0xFF)
+        ).astype(F32)
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
 
         # hit rule: in air, any solid; in a dense medium, anything that is not the
         # medium itself — the first non-medium voxel (air included) is the interface
-        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_u16)
+        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_i32)
         hit_block = jnp.where(
             new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
         )
@@ -163,11 +167,10 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
         t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
         skip3d = val.astype(F32) - F32(EMPTY_BASE)  # = dist − 1 for empty voxels
-        # non-descending rays may additionally skip the horizontal clearance: dxz is
-        # the horizontal L∞ distance to any solid at-or-above this level and is
-        # monotone in y, so the ball stays empty as the ray rises
-        skip_h = jnp.where(ascending, dxz - F32(1.0), F32(0.0))
-        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_h), F32(0.0))
+        # rays may additionally skip the direction-matched horizontal clearance:
+        # the at-or-above (at-or-below) solid set only shrinks as the ray rises
+        # (descends), so the clearance cylinder stays empty along the ray
+        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, dxz - F32(1.0)), F32(0.0))
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)

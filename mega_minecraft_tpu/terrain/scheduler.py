@@ -642,8 +642,18 @@ class TerrainScheduler:
     def slot_for(self, pos) -> int:
         return self.t.slot_of.get(tuple(pos), -1)
 
+    def state_at(self, pos) -> int:
+        return self.t.state_at(tuple(pos))
+
     def loaded_chunks(self) -> list:
         return list(self.t.slot_of)
+
+    def zone_info(self, zone_pos) -> dict:
+        z = self.zones.get(tuple(zone_pos))
+        return {
+            "ready": self._zone_ready_for_erosion(z) if z else False,
+            "queued": z.queued_for_erosion if z else False,
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -687,6 +697,19 @@ class NativeTerrainScheduler:
 
     def slot_for(self, pos) -> int:
         return self.core.slot_of(int(pos[0]), int(pos[1]))
+
+    def state_at(self, pos) -> int:
+        return self.core.state_at(int(pos[0]), int(pos[1]))
+
+    def zone_info(self, zone_pos) -> dict:
+        zx, zz = int(zone_pos[0]), int(zone_pos[1])
+        half = ZONE_SIZE // 2
+        ready = all(
+            self.core.state_at(zx + dx, zz + dz) >= int(ChunkState.HAS_LAYERS)
+            for dz in range(-half, ZONE_SIZE + half)
+            for dx in range(-half, ZONE_SIZE + half)
+        )
+        return {"ready": ready, "queued": None}
 
     def loaded_chunks(self) -> list:
         st, cx, cz, iu = self.core.snapshot()
