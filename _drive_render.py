@@ -38,7 +38,7 @@ params = sky.sky_params(sun_time=float(best_st), time=0.0)
 print("sun_dir:", np.asarray(params.sun_dir), "moon:", np.asarray(params.moon_dir))
 cam = player.camera_params(W, H)
 
-render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows"))
+render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols"))
 t0 = time.time()
 color, albedo, normal = render(scene, cam, params, H, W, jnp.int32(0))
 color.block_until_ready()

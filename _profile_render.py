@@ -58,7 +58,7 @@ def sky_loop_mode(params, fid):
     return r
 
 
-render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows"))
+render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols"))
 
 timeit("primary trace (i32 field)", primary, scene, cam, jnp.float32(0))
 timeit("sky_color loop mode", sky_loop_mode, params, jnp.float32(0))

@@ -49,5 +49,5 @@ bench("sky lean", skyf, dx, dy, dz)
 skyfull = jax.jit(lambda dx, dy, dz: sky.sky_color(dx, dy, dz, params, origin=(ox, oy, oz), first_hit=jnp.ones((H, W), bool))[0])
 bench("sky full (clouds+stars)", skyfull, dx, dy, dz)
 
-render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows"))
+render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols"))
 bench("full render_sample", render, scene, cam, params, H, W, jnp.int32(1), n=2)

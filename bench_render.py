@@ -19,7 +19,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 def run(H, W, scene, cam, params, reps=8):
     from mega_minecraft_tpu.render import tracer
 
-    render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows"))
+    render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols"))
     fbs = tracer.init_framebuffers(H, W)
     c, a, n = render(scene, cam, params, H, W, jnp.int32(0))
     fbs = tracer.accumulate(fbs, c, a, n, jnp.int32(0))

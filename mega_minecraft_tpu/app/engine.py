@@ -77,7 +77,7 @@ class Engine:
         self.render_h = self.cfg.height // 2 if self.cfg.use_upscaling else self.cfg.height
         self.fbs = tracer.init_framebuffers(self.render_h, self.render_w)
         self._render = jax.jit(
-            tracer.render_sample, static_argnames=("height", "width", "tile_rows")
+            tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols")
         )
         self._pending_scene_updates: list = []
 

@@ -235,10 +235,14 @@ def sharded_render(mesh: Mesh, scene, cam, params, height: int, width: int, fram
     from ..render.tracer import render_sample
 
     axis = mesh.axis_names[0]
+
+    # tile_rows=None: under GSPMD the row axis is already device-sharded, and
+    # band-sequencing inside each shard would force cross-device reshuffles
+    def _render(scene, cam, params, frame_id):
+        return render_sample(scene, cam, params, height, width, frame_id, tile_rows=None)
+
     f = jax.jit(
-        # tile_rows=None: under GSPMD the row axis is already device-sharded, and
-        # band-sequencing inside each shard would force cross-device reshuffles
-        partial(render_sample, height=height, width=width, tile_rows=None),
+        _render,
         in_shardings=(
             NamedSharding(mesh, P()),  # scene replicated
             NamedSharding(mesh, P()),

@@ -85,19 +85,31 @@ class Player:
         )
 
 
-def pixel_rays(cam: CameraParams, width: int, height: int, jitter, row0=0, full_height=None):
-    """Jittered pinhole rays for ``height`` rows starting at global row ``row0``
-    of a ``full_height``-row frame (basic_shaders.cu:566-572).
+def pixel_rays(
+    cam: CameraParams,
+    width: int,
+    height: int,
+    jitter,
+    row0=0,
+    full_height=None,
+    col0=0,
+    full_width=None,
+):
+    """Jittered pinhole rays for a ``height``x``width`` tile whose top-left global
+    pixel is (``row0``, ``col0``) of a ``full_height``x``full_width`` frame
+    (basic_shaders.cu:566-572).
 
     jitter: (jx, jy) arrays [height, width] in [0, 1).
     Returns (dx, dy, dz) arrays [height, width].
     """
     if full_height is None:
         full_height = height
-    ix = jnp.arange(width, dtype=F32)[None, :]
+    if full_width is None:
+        full_width = width
+    ix = jnp.arange(width, dtype=F32)[None, :] + jnp.asarray(col0, F32)
     iy = jnp.arange(height, dtype=F32)[:, None] + jnp.asarray(row0, F32)
     jx, jy = jitter
-    sx = (ix - F32(width) * F32(0.5) + jx) * cam.pixel_length[0]
+    sx = (ix - F32(full_width) * F32(0.5) + jx) * cam.pixel_length[0]
     # row 0 is the TOP of the presented image (the reference's D3D11 present chain
     # flips the buffer; we bake the flip into ray generation instead)
     sy = (iy - F32(full_height) * F32(0.5) + jy) * cam.pixel_length[1]

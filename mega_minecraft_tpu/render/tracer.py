@@ -368,24 +368,31 @@ def _render_rows(
     frame_id,
     row0,
     full_height: int,
+    col0=0,
+    full_width: int | None = None,
 ):
-    """One 1-spp path-traced sample of ``height`` rows starting at global row
-    ``row0`` of a ``full_height``-row frame.
+    """One 1-spp path-traced sample of a ``height``x``width`` tile whose top-left
+    global pixel is (``row0``, ``col0``) of the full frame.
 
-    Returns (color, albedo, normal) [height, W, 3] f32 (NOT accumulated).
+    Returns (color, albedo, normal) [height, width, 3] f32 (NOT accumulated).
     All per-pixel state (seeds, rays) is keyed by GLOBAL pixel coordinates, so the
-    image is bit-identical for any row tiling.
+    image is bit-identical for any tiling.
     """
     from .camera import pixel_rays
 
-    ix = jnp.arange(width, dtype=I32)[None, :]
+    if full_width is None:
+        full_width = width
+    ix = jnp.arange(width, dtype=I32)[None, :] + jnp.asarray(col0, I32)
     iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
-    seed = hashes.tea(iy * width + ix, jnp.asarray(frame_id, I32), rounds=4)
+    seed = hashes.tea(iy * full_width + ix, jnp.asarray(frame_id, I32), rounds=4)
     seed = jnp.broadcast_to(seed, (height, width))
 
     j1, seed = _rng(seed)
     j2, seed = _rng(seed)
-    dx, dy, dz = pixel_rays(cam, width, height, (j1, j2), row0=row0, full_height=full_height)
+    dx, dy, dz = pixel_rays(
+        cam, width, height, (j1, j2),
+        row0=row0, full_height=full_height, col0=col0, full_width=full_width,
+    )
 
     shape = (height, width)
     zeros = jnp.zeros(shape, F32)
@@ -789,6 +796,7 @@ def render_sample(
     width: int,
     frame_id,
     tile_rows: int | None = TILE_ROWS,
+    tile_cols: int | str | None = "auto",
 ):
     """One 1-spp path-traced sample of the full frame.
 
@@ -798,23 +806,59 @@ def render_sample(
     sequenced by ``lax.map`` — every band runs its own bounce/DDA ``while_loop``s and
     stops as soon as ITS worst ray resolves, so total work is Σ_band(max steps in
     band) instead of H·W·(global max).  ``None`` renders the frame as one band.
+
+    ``tile_cols`` (static): additionally split each band into column tiles (must
+    divide ``width``), isolating horizontal divergence too (sky left of a mountain
+    no longer waits on it).  Output is bit-identical for any tiling.  ``"auto"``
+    picks ~320-wide tiles for wide frames (measured on the 9x9 scene: 1080p
+    5.09 -> 2.55 s/frame, 540p 1.22 -> 0.74) and no column tiling below 960 px.
     """
+    if tile_cols == "auto":
+        tile_cols = None
+        if width >= 960:
+            for c in (320, 384, 256, 480):
+                if width % c == 0:
+                    tile_cols = c
+                    break
     if tile_rows is None or tile_rows >= height:
         return _render_rows(scene, cam, params, height, width, frame_id, 0, height)
 
     n_full = height // tile_rows
     rem = height - n_full * tile_rows
 
-    def band(row0):
-        return _render_rows(
-            scene, cam, params, tile_rows, width, frame_id, row0, height
-        )
+    if tile_cols is not None and width % tile_cols == 0 and tile_cols < width:
+        nc = width // tile_cols
 
-    offsets = jnp.arange(n_full, dtype=I32) * tile_rows
-    c, a, n = jax.lax.map(band, offsets)  # [n_full, tile_rows, W, 3] each
-    c = c.reshape(n_full * tile_rows, width, 3)
-    a = a.reshape(n_full * tile_rows, width, 3)
-    n = n.reshape(n_full * tile_rows, width, 3)
+        def tile(off):
+            return _render_rows(
+                scene, cam, params, tile_rows, tile_cols, frame_id,
+                off[0], height, off[1], width,
+            )
+
+        offs = np.array(
+            [(r * tile_rows, c * tile_cols) for r in range(n_full) for c in range(nc)],
+            np.int32,
+        )
+        c, a, n = jax.lax.map(tile, jnp.asarray(offs))  # [n_full*nc, tr, tc, 3]
+
+        def asm(x):
+            x = x.reshape(n_full, nc, tile_rows, tile_cols, 3)
+            return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
+                n_full * tile_rows, width, 3
+            )
+
+        c, a, n = asm(c), asm(a), asm(n)
+    else:
+        def band(row0):
+            return _render_rows(
+                scene, cam, params, tile_rows, width, frame_id, row0, height
+            )
+
+        offsets = jnp.arange(n_full, dtype=I32) * tile_rows
+        c, a, n = jax.lax.map(band, offsets)  # [n_full, tile_rows, W, 3] each
+        c = c.reshape(n_full * tile_rows, width, 3)
+        a = a.reshape(n_full * tile_rows, width, 3)
+        n = n.reshape(n_full * tile_rows, width, 3)
     if rem:
         cr, ar, nr = _render_rows(
             scene, cam, params, rem, width, frame_id, n_full * tile_rows, height
