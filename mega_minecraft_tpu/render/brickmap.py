@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..world.blocks import NUM_BLOCKS, SOLID
+from ..world.blocks import NUM_BLOCKS, RENDER_SOLID
 
 Y_SIZE = 384
 DIST_CAP = 63
@@ -110,7 +110,7 @@ def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_up=None, i
 def blocks_to_field(vol_u8):
     """[Z, X, Y] u8 block ids -> packed distance/block i32 field (see encoding)."""
     vol = vol_u8.astype(I32)
-    solid = jnp.asarray(SOLID)[vol]
+    solid = jnp.asarray(RENDER_SOLID)[vol]
     return _encode(vol, solid)
 
 
@@ -152,7 +152,7 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     old_dn = (old >> I32(16)) & I32(0xFF)
     # overlay new blocks (empty marked as EMPTY_BASE pending distance resweep)
     new_vals = vol_u8_region.astype(I32)
-    new_solid = jnp.asarray(SOLID)[new_vals]
+    new_solid = jnp.asarray(RENDER_SOLID)[new_vals]
     sub = jnp.where(new_solid, new_vals, I32(EMPTY_BASE))
     window = jax.lax.dynamic_update_slice(window, sub, (z0 - zlo, x0 - xlo, 0))
     # inside the freshly updated region the old bounds don't apply (they may be

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import hashes
-from ..world.blocks import Block
+from ..world.blocks import Block, X_SHAPED_HI, X_SHAPED_LO
 from . import sky as sky_mod
 from .brickmap import EMPTY_BASE, Scene
 from .materials import (
@@ -128,7 +128,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     ascending = dy >= F32(0.0)
 
     def body(state):
-        t, alive, hit, hit_block, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, step = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
@@ -144,18 +144,9 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
             ascending, (packed >> I32(8)) & I32(0xFF), (packed >> I32(16)) & I32(0xFF)
         ).astype(F32)
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
+        is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
 
-        # hit rule: in air, any solid; in a dense medium, anything that is not the
-        # medium itself — the first non-medium voxel (air included) is the interface
-        new_hit = alive & jnp.where(is_air_medium, is_solid, val != med_i32)
-        hit_block = jnp.where(
-            new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
-        )
-        hit = hit | new_hit
-        alive = alive & ~new_hit
-
-        # advance: at least to the current 1³ cell exit; in air additionally skip
-        # (dist − 1) blocks, safe under the L∞ bound
+        # cell exit param (needed by both the X-quad test and the advance)
         bx = jnp.where(dx > 0, vx.astype(F32) + orig[0] + 1, vx.astype(F32) + orig[0])
         by = jnp.where(dy > 0, vy.astype(F32) + orig[1] + 1, vy.astype(F32) + orig[1])
         bz = jnp.where(dz > 0, vz.astype(F32) + orig[2] + 1, vz.astype(F32) + orig[2])
@@ -166,6 +157,41 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         tey = jnp.where(jnp.abs(dy) < F32(1e-12), big, (by - oy) * idy_)
         tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
         t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
+
+        # hit rule: in air, any solid; in a dense medium, anything that is not the
+        # medium itself — the first non-medium voxel (air included) is the interface
+        candidate = alive & jnp.where(is_air_medium, is_solid, val != med_i32)
+
+        # X-shaped flora: intersect the two crossed diagonal quads of the voxel
+        # (reference draws crossed cutout quads, chunk.cu:1901-1935; the geometric
+        # quad test is pure VPU math — no extra gathers).  The ray occupies
+        # [t, t_exit] inside this voxel, so a plane hit in that interval is inside.
+        cx0 = vx.astype(F32) + orig[0]
+        cz0 = vz.astype(F32) + orig[2]
+        den_a = dx - dz
+        den_b = dx + dz
+        t_a = ((cx0 - cz0) + (oz - ox)) / jnp.where(jnp.abs(den_a) < F32(1e-6), F32(1.0), den_a)
+        t_b = ((F32(1.0) + cx0 + cz0) - (ox + oz)) / jnp.where(jnp.abs(den_b) < F32(1e-6), F32(1.0), den_b)
+        ok_a = (jnp.abs(den_a) >= F32(1e-6)) & (t_a >= t) & (t_a <= t_exit)
+        ok_b = (jnp.abs(den_b) >= F32(1e-6)) & (t_b >= t) & (t_b <= t_exit)
+        t_q = jnp.where(ok_a & (~ok_b | (t_a <= t_b)), t_a, t_b)
+        quad_ok = ok_a | ok_b
+        use_a = ok_a & (~ok_b | (t_a <= t_b))
+
+        new_hit = candidate & jnp.where(is_x, quad_ok, True)
+        new_x = new_hit & is_x
+        hit_block = jnp.where(
+            new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
+        )
+        hit = hit | new_hit
+        hit_x = hit_x | new_x
+        x_use_a = jnp.where(new_x, use_a, x_use_a)
+        # X hits stop ON the quad: park t there so the shading point is exact
+        t = jnp.where(new_x, t_q, t)
+        alive = alive & ~new_hit
+
+        # advance: at least to the current 1³ cell exit; in air additionally skip
+        # (dist − 1) blocks, safe under the L∞ bound
         skip3d = val.astype(F32) - F32(EMPTY_BASE)  # = dist − 1 for empty voxels
         # rays may additionally skip the direction-matched horizontal clearance:
         # the at-or-above (at-or-below) solid set only shrinks as the ray rises
@@ -175,10 +201,11 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)
         alive = alive & (t < t_out)
-        return t, alive, hit, hit_block, step + 1
+        return t, alive, hit, hit_block, hit_x, x_use_a, step + 1
 
     def cond(state):
-        _, alive, _, _, step = state
+        alive = state[1]
+        step = state[-1]
         return jnp.any(alive) & (step < max_steps)
 
     t0 = jnp.where(alive0, t_start, F32(1e20))
@@ -187,9 +214,11 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         alive0,
         jnp.zeros_like(alive0),
         jnp.zeros(jnp.shape(ox), U8),
+        jnp.zeros_like(alive0),
+        jnp.zeros_like(alive0),
         jnp.zeros((), I32),
     )
-    t, _, hit, hit_block, _ = jax.lax.while_loop(cond, body, init)
+    t, _, hit, hit_block, hit_x, x_use_a, _ = jax.lax.while_loop(cond, body, init)
 
     # hit voxel + entry-face normal
     px = ox + dx * t
@@ -205,7 +234,19 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     nx = jnp.where(ex >= t_entry, -jnp.sign(dx), 0.0)
     ny = jnp.where((ey >= t_entry) & (ex < t_entry), -jnp.sign(dy), 0.0)
     nz = jnp.where((ez >= t_entry) & (ex < t_entry) & (ey < t_entry), -jnp.sign(dz), 0.0)
-    t_hit = jnp.where(hit, jnp.maximum(t_entry, F32(0.0)), F32(1e20))
+    # X-shaped flora stopped ON their crossed quad: the march parked t at the quad
+    # param; the normal is the quad plane's, oriented against the ray
+    inv_s2 = F32(0.70710678)
+    sd_a = jnp.sign(dx - dz)
+    sd_b = jnp.sign(dx + dz)
+    xq_nx = jnp.where(x_use_a, -sd_a * inv_s2, -sd_b * inv_s2)
+    xq_nz = jnp.where(x_use_a, sd_a * inv_s2, -sd_b * inv_s2)
+    nx = jnp.where(hit_x, xq_nx, nx)
+    ny = jnp.where(hit_x, F32(0.0), ny)
+    nz = jnp.where(hit_x, xq_nz, nz)
+    t_hit = jnp.where(
+        hit, jnp.where(hit_x, t, jnp.maximum(t_entry, F32(0.0))), F32(1e20)
+    )
 
     # water/crystal exit into air: surface normal points out of the dense medium
     exit_iface = (medium != U8(AIR)) & (hit_block == U8(AIR)) & hit

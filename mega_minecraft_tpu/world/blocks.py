@@ -404,3 +404,14 @@ SOLID = np.ones(NUM_BLOCKS, dtype=bool)
 SOLID[int(B.AIR)] = False
 for _i in range(int(B.CAVE_VINES_MAIN), NUM_NON_SOLID_BLOCKS):
     SOLID[_i] = False  # X-shaped flora: not solid for occupancy (alpha-cutout geometry)
+
+#: contiguous id range of X-shaped flora (block.hpp:154 non-solid range): detected in
+#: the tracer's DDA by two integer compares, no table gather
+X_SHAPED_LO = int(B.CAVE_VINES_MAIN)
+X_SHAPED_HI = NUM_NON_SOLID_BLOCKS  # exclusive
+
+#: occupancy for the RENDERER's distance field: X-shaped flora stop the DDA so their
+#: crossed quads can be intersected analytically (the reference draws them as crossed
+#: cutout quads hit via anyhit, chunk.cu:1901-1935 + basic_shaders.cu:1046-1068)
+RENDER_SOLID = SOLID.copy()
+RENDER_SOLID[X_SHAPED_LO:X_SHAPED_HI] = True

@@ -182,3 +182,43 @@ class TestDebugRenderer:
             debug_renderer.render_debug(scene, cam, params, 48, 64, tint="chunk")
         )
         assert (plain != tinted).any()
+
+
+class TestXShapedFlora:
+    """X-shaped flora are hit via their crossed diagonal quads (chunk.cu:1901-1935
+    analogue) — they must be visible to the tracer but stop rays ON the quad."""
+
+    def _scene_with_tuft(self):
+        vol = np.zeros((32, 32, 384), np.uint8)
+        vol[:, :, :100] = int(Block.STONE)
+        vol[8, 8, 100] = int(Block.GRASS)  # X-shaped tuft on the surface
+        chunks = vol.reshape(2, 16, 2, 16, 384).transpose(0, 2, 1, 3, 4)
+        return brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+
+    def test_ray_through_tuft_hits_it(self):
+        from mega_minecraft_tpu.render import tracer
+
+        scene = self._scene_with_tuft()
+        o = [jnp.full((1,), v, jnp.float32) for v in (8.5, 100.5, -2.0)]
+        d = [jnp.full((1,), v, jnp.float32) for v in (0.0, 0.0, 1.0)]
+        res = tracer.trace(scene, o[0], o[1], o[2], d[0], d[1], d[2],
+                           jnp.zeros((1,), jnp.uint8))
+        assert bool(res.hit[0])
+        assert int(res.block[0]) == int(Block.GRASS)
+        # stops on the quad inside the voxel, not at a face
+        t = float(res.t[0])
+        assert 10.0 < t < 11.0
+        # quad normal is diagonal (|nx| == |nz| == 1/sqrt(2)), horizontal
+        assert abs(abs(float(res.nx[0])) - 0.7071) < 1e-3
+        assert abs(abs(float(res.nz[0])) - 0.7071) < 1e-3
+        assert float(res.ny[0]) == 0.0
+
+    def test_ray_above_tuft_misses(self):
+        from mega_minecraft_tpu.render import tracer
+
+        scene = self._scene_with_tuft()
+        o = [jnp.full((1,), v, jnp.float32) for v in (8.5, 101.5, -2.0)]
+        d = [jnp.full((1,), v, jnp.float32) for v in (0.0, 0.0, 1.0)]
+        res = tracer.trace(scene, o[0], o[1], o[2], d[0], d[1], d[2],
+                           jnp.zeros((1,), jnp.uint8))
+        assert not bool(res.hit[0])
