@@ -46,10 +46,17 @@ class Engine:
     def __init__(self, cfg: EngineConfig | None = None):
         self.cfg = cfg or EngineConfig()
         self.player = camera.Player()
+        # zone erosion needs the full 24x24 gathered chunk grid (12x12 core +
+        # 6-chunk halo, terrain.hpp:17-19); under a clipped spiral radius < 18 no
+        # zone can ever become ready and every chunk would stall at HAS_LAYERS —
+        # fall back to the reference's DEBUG_SKIP_EROSION behavior instead
+        skip_erosion = self.cfg.skip_erosion
+        if not skip_erosion and self.cfg.gen_radius is not None and self.cfg.gen_radius < 18:
+            skip_erosion = True
         self.scheduler = make_scheduler(
             capacity=self.cfg.capacity,
             radius=self.cfg.gen_radius,
-            skip_erosion=self.cfg.skip_erosion,
+            skip_erosion=skip_erosion,
             native=self.cfg.native_scheduler,
         )
         n = self.cfg.view_chunks

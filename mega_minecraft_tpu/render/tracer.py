@@ -18,7 +18,8 @@ the hit block id or a safe Chebyshev empty-space skip, so the loop is pure VPU m
 with the minimum possible gather count (per-lane gathers are the scarce resource on
 TPU).  Per-block shading properties come from a single packed-word gather
 (materials.BLOCK_PROPS).  RTX BVH traversal is replaced entirely; "anyhit alpha
-cutout" becomes the solidity table (X-shaped flora are non-solid).  The bounce loop is
+cutout" becomes an analytic crossed-quad intersection for X-shaped flora (pure VPU
+math inside the march — see trace()'s quad test).  The bounce loop is
 a single ``lax.while_loop`` whose body contains one radiance DDA + one shadow DDA.
 """
 

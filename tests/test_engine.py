@@ -59,3 +59,13 @@ class TestCheckpoint:
                                 capacity=64, use_upscaling=True))
         assert (e.render_w, e.render_h) == (32, 18)
         assert e.fbs.color.shape == (18, 32, 3)
+
+
+def test_small_radius_auto_skips_erosion():
+    """A clipped spiral radius < 18 can never satisfy a zone's 24x24 gathered grid,
+    so the engine must fall back to skip_erosion instead of stalling at HAS_LAYERS."""
+    from mega_minecraft_tpu.app.engine import Engine, EngineConfig
+
+    eng = Engine(EngineConfig(width=32, height=16, view_chunks=5, gen_radius=4,
+                              skip_erosion=False))
+    assert eng.scheduler.skip_erosion
