@@ -622,7 +622,13 @@ def _render_rows(
         # ---- specular (water/crystal) ----
         nx, ny, nz = res.nx, res.ny, res.nz
         wavy = mat_scalar(mat, MAT_WAVY) & h_shade
-        wnx, wny, wnz = _wave_normal(isx, isy, isz, nx, ny, nz, params.time)
+        # the fBm wave normal is ~2 four-octave Perlin stacks per lane; most tiles
+        # contain no water at all, so gate it on a per-tile scalar branch
+        wnx, wny, wnz = jax.lax.cond(
+            jnp.any(wavy),
+            lambda: _wave_normal(isx, isy, isz, nx, ny, nz, params.time),
+            lambda: (nx, ny, nz),
+        )
         nx = jnp.where(wavy, wnx, nx)
         ny = jnp.where(wavy, wny, ny)
         nz = jnp.where(wavy, wnz, nz)

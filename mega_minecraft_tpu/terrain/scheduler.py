@@ -261,9 +261,17 @@ class Zone:
 
 @dataclass
 class TerrainState:
-    """Fixed-capacity chunk table: host state mirror + device data arrays."""
+    """Fixed-capacity chunk table: host state mirror + device data arrays.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the SLOT axis of every per-chunk
+    device array is sharded over its first axis, so the streaming world state and
+    the jitted stage programs scale across chips under GSPMD (stage batches
+    gather/scatter across shards via XLA collectives over ICI).  ``None`` keeps
+    everything on the default device.
+    """
 
     capacity: int = 8192
+    mesh: object = None
 
     def __post_init__(self):
         c = self.capacity
@@ -272,19 +280,27 @@ class TerrainState:
         self.in_use = np.zeros(c, bool)
         self.slot_of: dict = {}
         self.free = list(range(c - 1, -1, -1))
-        # device-resident per-chunk data
-        self.d_heightfield = jnp.zeros((c, 16, 16), jnp.float32)
-        self.d_weights = jnp.zeros((c, 24, 16, 16), jnp.float32)
-        self.d_layers = jnp.zeros((c, 20, 16, 16), jnp.float32)
-        self.d_cave_starts = jnp.full((c, 16, 16, 32), 384, jnp.int16)
-        self.d_cave_ends = jnp.full((c, 16, 16, 32), 384, jnp.int16)
-        self.d_cave_bottom = jnp.zeros((c, 16, 16, 32), jnp.uint8)
-        self.d_cave_top = jnp.zeros((c, 16, 16, 32), jnp.uint8)
-        self.d_blocks = jnp.zeros((c, 16, 16, 384), jnp.uint8)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+            put = lambda a: jax.device_put(a, spec)
+        else:
+            put = lambda a: a
+        # device-resident per-chunk data (slot axis sharded when a mesh is given)
+        self.d_heightfield = put(jnp.zeros((c, 16, 16), jnp.float32))
+        self.d_weights = put(jnp.zeros((c, 24, 16, 16), jnp.float32))
+        self.d_layers = put(jnp.zeros((c, 20, 16, 16), jnp.float32))
+        self.d_cave_starts = put(jnp.full((c, 16, 16, 32), 384, jnp.int16))
+        self.d_cave_ends = put(jnp.full((c, 16, 16, 32), 384, jnp.int16))
+        self.d_cave_bottom = put(jnp.zeros((c, 16, 16, 32), jnp.uint8))
+        self.d_cave_top = put(jnp.zeros((c, 16, 16, 32), jnp.uint8))
+        self.d_blocks = put(jnp.zeros((c, 16, 16, 384), jnp.uint8))
         # compacted per-chunk feature placement lists (feature 0 = none)
         fc, cc = fp.CHUNK_FEATURE_CAP, fp.CHUNK_CAVE_FEATURE_CAP
-        self.d_sf = {k: jnp.zeros((c, fc), jnp.int32) for k in ("feature", "x", "y", "z", "replace")}
-        self.d_cf = {k: jnp.zeros((c, cc), jnp.int32) for k in ("feature", "x", "y", "z", "height", "replace")}
+        self.d_sf = {k: put(jnp.zeros((c, fc), jnp.int32)) for k in ("feature", "x", "y", "z", "replace")}
+        self.d_cf = {k: put(jnp.zeros((c, cc), jnp.int32)) for k in ("feature", "x", "y", "z", "height", "replace")}
 
     def alloc(self, pos) -> int:
         slot = self.free.pop()
@@ -320,12 +336,14 @@ class TerrainScheduler:
         capacity: int = 8192,
         radius: int | None = None,
         skip_erosion: bool = False,
+        mesh=None,
     ):
         """skip_erosion: bypass the zone-erosion stage (the reference's
         DEBUG_SKIP_EROSION, chunk.cu:12) — required when the generation radius is
-        clipped below a full 24x24 zone grid."""
+        clipped below a full 24x24 zone grid.
+        mesh: optional device mesh — shards the slot tables across chips."""
         self.skip_erosion = skip_erosion
-        self.t = TerrainState(capacity)
+        self.t = TerrainState(capacity, mesh)
         self.spiral = generate_spiral()
         if radius is not None:
             keep = np.abs(self.spiral).max(axis=1) <= radius
@@ -674,12 +692,13 @@ class NativeTerrainScheduler:
         capacity: int = 8192,
         radius: int | None = None,
         skip_erosion: bool = False,
+        mesh=None,
     ):
         from ..native import sched as nsched
 
         self._ns = nsched
         self.skip_erosion = skip_erosion
-        self.t = TerrainState(capacity)  # device arrays; host mirrors unused
+        self.t = TerrainState(capacity, mesh)  # device arrays; host mirrors unused
         self.core = nsched.NativeSchedulerCore(capacity, radius, skip_erosion)
         self.newly_filled: list = []
         self.vbos_destroyed: list = []
@@ -817,13 +836,15 @@ def make_scheduler(
     radius: int | None = None,
     skip_erosion: bool = False,
     native: bool | None = None,
+    mesh=None,
 ):
     """Build the native-core scheduler when the toolchain is available (or
-    ``native=True``), else the pure-Python one.  ``native=None`` = auto."""
+    ``native=True``), else the pure-Python one.  ``native=None`` = auto.
+    ``mesh``: optional device mesh — shards the slot tables across chips."""
     if native is None:
         from ..native import sched as nsched
 
         native = nsched.available()
     if native:
-        return NativeTerrainScheduler(capacity, radius, skip_erosion)
-    return TerrainScheduler(capacity, radius, skip_erosion)
+        return NativeTerrainScheduler(capacity, radius, skip_erosion, mesh=mesh)
+    return TerrainScheduler(capacity, radius, skip_erosion, mesh=mesh)

