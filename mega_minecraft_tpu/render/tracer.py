@@ -843,7 +843,7 @@ def render_sample(
     height: int,
     width: int,
     frame_id,
-    tile_rows: int | None = TILE_ROWS,
+    tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
 ):
     """One 1-spp path-traced sample of the full frame.
@@ -868,6 +868,10 @@ def render_sample(
                 if width % c == 0:
                     tile_cols = c
                     break
+    if tile_rows == "auto":
+        # with column tiles the per-tile lane count shrinks; taller tiles keep the
+        # VPU fed (measured at 1080p: (4,320) 2.55 s vs (8,320) 2.34 s)
+        tile_rows = 8 if tile_cols else TILE_ROWS
     if tile_rows is None or tile_rows >= height:
         return _render_rows(scene, cam, params, height, width, frame_id, 0, height)
 
