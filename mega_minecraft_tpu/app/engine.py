@@ -83,8 +83,12 @@ class Engine:
         self.render_w = self.cfg.width // 2 if self.cfg.use_upscaling else self.cfg.width
         self.render_h = self.cfg.height // 2 if self.cfg.use_upscaling else self.cfg.height
         self.fbs = tracer.init_framebuffers(self.render_h, self.render_w)
+        # NOTE: no donate_argnums on the framebuffers — buffer donation through
+        # this program produces invalid output aliases on the linked-TPU (axon)
+        # backend (downstream reads fail with INVALID_ARGUMENT)
         self._render = jax.jit(
-            tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols")
+            tracer.render_accumulate,
+            static_argnames=("height", "width", "tile_rows", "tile_cols"),
         )
         self._pending_scene_updates: list = []
 
@@ -157,10 +161,10 @@ class Engine:
 
         params = sky.sky_params(self.sun_time, self.time)
         cam = self.player.camera_params(self.render_w, self.render_h)
-        c, a, n = self._render(
-            self.scene, cam, params, self.render_h, self.render_w, jnp.int32(self.frame_id)
+        self.fbs = self._render(
+            self.fbs, self.scene, cam, params, self.render_h, self.render_w,
+            jnp.int32(self.frame_id),
         )
-        self.fbs = tracer.accumulate(self.fbs, c, a, n, jnp.int32(self.frame_id))
         self.frame_id += 1
 
     def present(self) -> np.ndarray:

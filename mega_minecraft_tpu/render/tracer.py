@@ -930,3 +930,23 @@ def accumulate(fbs: FrameBuffers, color, albedo, normal, frame_id) -> FrameBuffe
         albedo=(albedo + fid * fbs.albedo) * mult,
         normal=(normal + fid * fbs.normal) * mult,
     )
+
+
+def render_accumulate(
+    fbs: FrameBuffers,
+    scene: Scene,
+    cam,
+    params: SkyParams,
+    height: int,
+    width: int,
+    frame_id,
+    tile_rows: int | str | None = "auto",
+    tile_cols: int | str | None = "auto",
+) -> FrameBuffers:
+    """One sample + accumulation as a single program — jit this (donating ``fbs``)
+    so a streaming frame costs ONE dispatch instead of two (each dispatch pays a
+    host round-trip on linked-TPU backends)."""
+    c, a, n = render_sample(
+        scene, cam, params, height, width, frame_id, tile_rows, tile_cols
+    )
+    return accumulate(fbs, c, a, n, frame_id)
