@@ -364,7 +364,6 @@ def _trowbridge_reitz_d(whx, why, whz, nx, ny, nz, rough):
     cos2 = (whx * nx + why * ny + whz * nz) ** 2
     tan2 = (F32(1.0) - cos2) / jnp.maximum(cos2, 1e-12)
     cos4 = cos2 * cos2
-    e = jnp.abs((F32(1.0) / (rough * rough) + F32(1.0) / (rough * rough)) * jnp.sqrt(tan2)) * F32(0.5) * 2 * 0.5
     # (cos2Phi + sin2Phi) / rough² == 1/rough² — the reference's anisotropy collapses
     e = jnp.abs(jnp.sqrt(tan2) / (rough * rough))
     d = F32(1.0) / (F32(np.pi) * rough * rough * jnp.maximum(cos4, 1e-12) * (F32(1.0) + e) ** 2)

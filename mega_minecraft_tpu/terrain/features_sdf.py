@@ -499,19 +499,7 @@ def _feat_purple_mushroom(s, fx, fy, fz, wx, wy, wz, brng, extra):
     far_cap = _length3(px, py - height, pz) > F32(35.0)
     in_bounds = ~((py < -1) | (py > height + 12.0) | ((hd > 8.0) & ((py < height - 12.0) | far_cap)))
 
-    # spline control points (5 pts, draws 3..14), spline size 7
-    ctrl = [(0.0, 0.0, 0.0)]
-    k = 3
-    for i in range(1, 5):
-        ox = (s[k] * 2 - 1) * 6.0
-        oy = (s[k + 1] * 2 - 1) * 2.0
-        oz = (s[k + 2] * 2 - 1) * 6.0
-        if i == 4:
-            ox, oy, oz = ox * 0.6, oy * 0.6, oz * 0.6
-        t = i / 4.0
-        ctrl.append((0.0 * t + ox, float(0) + oy, 0.0 * t + oz))
-        k += 3
-    # height is traced; build ctrl points as jnp scalars
+    # spline control points (5 pts, draws 3..14), spline size 7; traced jnp scalars
     ctrl_j = [(F32(0.0), F32(0.0), F32(0.0))]
     kk = 3
     for i in range(1, 5):

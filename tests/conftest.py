@@ -28,5 +28,30 @@ if _force:
 # compiled binaries instead of paying minutes of XLA time again.
 import jax as _jax  # noqa: E402
 
-_jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MMTPU_XLA_CACHE_DIR", "/tmp/mmtpu_xla_cache"),
+)
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow",
+        action="store_true",
+        default=False,
+        help="also run the compile-heavy slow tier (default tier targets <10 min cold)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --run-slow (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
