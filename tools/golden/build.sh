@@ -1,0 +1,24 @@
+#!/bin/sh
+# Build the golden generator against the read-only reference mount.
+# Extracts the two pure __device__ helpers from chunk.cu verbatim (so the
+# golden logic is the reference's own code, not a transcription), then
+# compiles golden_gen.cpp with the CUDA-shim stubs shadowing cuda/cudaUtils.hpp.
+set -e
+REF="${REF:-/root/reference}"
+HERE="$(cd "$(dirname "$0")" && pwd)"
+OUT="${1:-$HERE/golden_gen}"
+
+test -d "$REF/src" || { echo "reference not mounted at $REF" >&2; exit 1; }
+
+sed -n '/^__device__ float getStratifiedMaterialThickness/,/^}/p' \
+    "$REF/src/terrain/chunk.cu" > "$HERE/extracted_chunk.inc"
+sed -n '/^__device__ bool shouldGenerateCaveAtBlock/,/^}/p' \
+    "$REF/src/terrain/chunk.cu" >> "$HERE/extracted_chunk.inc"
+
+# -ffp-contract=off: keep f32 expression results stable (no host FMA fusion);
+# the reference device build uses fast math, so goldens are "reference logic
+# at IEEE f32" — tests compare with documented epsilons.
+g++ -O2 -std=c++17 -ffp-contract=off \
+    -I "$HERE/stubs" -I "$HERE" -I "$REF/src" -I "$REF/external/include" \
+    "$HERE/golden_gen.cpp" -o "$OUT"
+echo "built $OUT"
