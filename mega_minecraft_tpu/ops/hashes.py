@@ -104,6 +104,60 @@ def lcg_uniform(state, lo: float, hi: float):
 
 
 # ---------------------------------------------------------------------------
+# LCG jumping: state after k steps is a^k·s0 mod m in closed form, so a long
+# *sequential* draw stream whose per-consumer draw COUNTS are data-independent
+# can be evaluated fully in parallel — each consumer gathers a^k from a host
+# precomputed power table and does one modular multiply by s0.  This removes
+# the serial scan that otherwise dominates (decorators: 256-column stream).
+# ---------------------------------------------------------------------------
+
+
+def lcg_pow_table(n: int):
+    """[n] u32 numpy table: a^k mod m for k in [0, n)."""
+    import numpy as np
+
+    out = np.empty(n, np.uint64)
+    v = 1
+    for k in range(n):
+        out[k] = v
+        v = (v * LCG_A) % LCG_M
+    return out.astype(np.uint32)
+
+
+def lcg_mulmod(x, y) -> jnp.ndarray:
+    """(x · y) mod (2^31 − 1) for u32 inputs < 2^31, in pure u32 arithmetic.
+
+    16-bit splitting plus Mersenne folding (2^31 ≡ 1, 2^32 ≡ 2 mod m); no
+    64-bit ops, TPU-friendly.
+    """
+    x = _u32(x)
+    y = _u32(y)
+    m = U32(LCG_M)
+    xh, xl = x >> U32(16), x & U32(0xFFFF)
+    yh, yl = y >> U32(16), y & U32(0xFFFF)
+
+    def fold(v):  # v < 2^32 -> congruent value <= m + 1
+        return (v & m) + (v >> U32(31))
+
+    t1 = U32(2) * xh * yh  # xh·yh·2^32 ≡ 2·xh·yh; xh,yh < 2^15 so t1 < 2^31
+    mid = xh * yl + xl * yh  # < 2^32
+    t2 = ((mid & U32(0x7FFF)) << U32(16)) + (mid >> U32(15))  # mid·2^16 mod-folded
+    t3 = xl * yl  # < 2^32
+    s = fold(t1 + fold(t2))
+    s = fold(s + fold(t3))
+    return jnp.where(s >= m, s - m, s)
+
+
+def lcg_value_at(state0, j, pow_table) -> jnp.ndarray:
+    """The uniform-[0,1] value of 0-based draw ``j`` from initial state ``state0``
+    (bit-equal to calling :func:`lcg_u01` j+1 times), via ``pow_table`` =
+    jnp/np array from :func:`lcg_pow_table` with length > max(j) + 1."""
+    a_k = jnp.asarray(pow_table)[jnp.asarray(j, I32) + I32(1)]
+    state = lcg_mulmod(a_k, state0)
+    return (state - U32(1)).astype(F32) / F32(_LCG_RANGE)
+
+
+# ---------------------------------------------------------------------------
 # sin-dot float hashes (rng.hpp:102-155).  f32 math throughout.
 # ---------------------------------------------------------------------------
 

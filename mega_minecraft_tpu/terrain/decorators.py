@@ -32,6 +32,9 @@ U8 = jnp.uint8
 
 SEED_DECORATORS = 7589341  # chunk.cu:1681
 MAX_LAYERS = bio.MAX_CAVE_LAYERS_PER_COLUMN
+#: a^k mod m for every reachable stream position: 256 columns × ≤(2 + 2·32)
+#: draws = 16896, +4 slack for the peek/+1 offsets
+_LCG_POW = hashes.lcg_pow_table(16900)
 #: cave layers that can actually receive decorators (draws still cover all 32;
 #: columns with more than this many cave layers are astronomically rare)
 MAX_APPLY_LAYERS = 8
@@ -56,7 +59,16 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
       cave_starts/ends [16,16,32] i32, cave_bottom_biome [16,16,32] i32,
       chunk_pos1 [2] i32.
     """
-    # ---- phase 1: the sequential draw scan (column-major z, x — chunk.cu:1684) ----
+    # ---- phase 1: the draw stream (column-major z, x — chunk.cu:1684) ----
+    # The reference consumes ONE sequential minstd stream per chunk, but each
+    # column's draw COUNT (2 + 2·drawing-layers) is known without sequencing, so
+    # every consumed draw's global stream position is a prefix sum — and a
+    # minstd stream is jumpable in closed form (state_j = a^j·s0 mod 2³¹−1).
+    # All draws evaluate in parallel via one power-table gather + mulmod each,
+    # replacing a 256-step sequential scan (the old decorator hot spot).
+    # Draws the reference makes but never consumes (the per-layer peek values of
+    # non-drawing layers) are left as garbage; every consumer below masks them
+    # with ``draws_layer``.
     w_last = jnp.moveaxis(biome_weights, 0, -1).reshape(256, 24)
     starts = cave_starts.reshape(256, MAX_LAYERS)
     valid_layers = starts != I32(384)
@@ -67,26 +79,15 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
 
     state0 = hashes.seed_4(chunk_pos1[0], 0, chunk_pos1[1], SEED_DECORATORS)
 
-    def col_step(state, inputs):
-        draws_l = inputs
-        r_biome, state = hashes.lcg_u01(state)
-        r_surface, state = hashes.lcg_u01(state)
-        bottoms = []
-        tops = []
-        for li in range(MAX_LAYERS):
-            nxt = hashes.lcg_next(state)
-            rb = (nxt - jnp.uint32(1)).astype(F32) / F32(2147483645.0)
-            state = jnp.where(draws_l[li], nxt, state)
-            nxt2 = hashes.lcg_next(state)
-            rt = (nxt2 - jnp.uint32(1)).astype(F32) / F32(2147483645.0)
-            state = jnp.where(draws_l[li], nxt2, state)
-            bottoms.append(rb)
-            tops.append(rt)
-        return state, (r_biome, r_surface, jnp.stack(bottoms), jnp.stack(tops))
-
-    _, (r_biome, r_surface, r_bottom, r_top) = jax.lax.scan(
-        col_step, state0, draws_layer
-    )
+    k_col = I32(2) + I32(2) * draws_layer.sum(-1).astype(I32)  # [256]
+    col_base = jnp.cumsum(k_col) - k_col  # exclusive prefix: stream pos of draw 0
+    drawn_before = jnp.cumsum(draws_layer.astype(I32), -1) - draws_layer  # [256,32]
+    pos_bottom = col_base[:, None] + I32(2) + I32(2) * drawn_before
+    ptab = jnp.asarray(_LCG_POW)
+    r_biome = hashes.lcg_value_at(state0, col_base, ptab)
+    r_surface = hashes.lcg_value_at(state0, col_base + I32(1), ptab)
+    r_bottom = hashes.lcg_value_at(state0, pos_bottom, ptab)
+    r_top = hashes.lcg_value_at(state0, pos_bottom + I32(1), ptab)
     # r_biome/r_surface: [256]; r_bottom/r_top: [256, 32]
 
     biome = random_biome(w_last, r_biome)  # [256]
@@ -186,14 +187,10 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
 @jax.jit
 def place_decorators_batch(blocks, heightfield, biome_weights, cave_starts, cave_ends,
                            cave_bottom_biome, chunk_pos):
-    """Batched ``place_decorators`` over a leading chunk axis via ``lax.map``
-    (one dispatch per stage batch instead of one per chunk)."""
-
-    def one(args):
-        return place_decorators(*args)
-
-    return jax.lax.map(
-        one,
-        (blocks, heightfield, biome_weights, cave_starts, cave_ends,
-         cave_bottom_biome, chunk_pos),
+    """Batched ``place_decorators`` via ``vmap``: unlike the SDF feature pass there
+    is no ``lax.switch`` to blow up, so all chunks' column scans and masked scatters
+    run as ONE parallel program instead of ``lax.map``'s serialized per-chunk loop."""
+    return jax.vmap(place_decorators)(
+        blocks, heightfield, biome_weights, cave_starts, cave_ends,
+        cave_bottom_biome, chunk_pos,
     )

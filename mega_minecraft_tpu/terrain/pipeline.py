@@ -24,11 +24,13 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("ncx", "ncz"))
-def generate_area_fused(pos_halo, ncx: int, ncz: int):
-    """The full per-chunk pipeline (heightfield → layers → caves → fill) for an
-    ``ncx × ncz`` area as ONE jitted device program — no host round-trips between
-    stages, XLA overlaps everything.  (Erosion/features are separate passes.)
+@partial(jax.jit, static_argnames=("ncx", "ncz", "features"))
+def generate_area_fused(pos_halo, ncx: int, ncz: int, features: bool = False):
+    """The full per-chunk pipeline (heightfield → layers → caves → fill, and with
+    ``features=True`` also feature placement → 49-chunk gather → SDF feature fill →
+    decorators) for an ``ncx × ncz`` area as ONE jitted device program — no host
+    round-trips between stages, XLA overlaps everything.  (Erosion is a separate
+    zone-grid pass; see erosion.erode_zone.)
 
     Args:
       pos_halo: [(ncz+2)*(ncx+2), 2] i32 world-block chunk origins, row-major with
@@ -56,6 +58,47 @@ def generate_area_fused(pos_halo, ncx: int, ncz: int):
     ls = layers.fix_backward_stratified(ls)
     cv = caves_mod.generate_caves(hf_in, w_in, pos_in)
     blocks = fill.fill_chunks(hf_in, w_in, ls, cv["starts"], cv["ends"], pos_in)
+    if features:
+        from . import decorators as decorators_mod
+        from . import feature_placement as fp
+        from . import features as features_mod
+        from ..world import biomes as bio2
+
+        pl = fp.generate_placements(
+            hf_in, w_in, ls, cv["starts"], cv["ends"],
+            cv["bottom_biome"], cv["top_biome"], pos_in,
+        )
+        lists = fp.compact_placements(pl, pos_in)
+        # static neighborhood slot table over the inner grid; out-of-area
+        # neighbors alias chunk 0 with their lists masked off (border clipped)
+        n = ncz * ncx
+        nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), I32)
+        nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
+        for ci in range(n):
+            iz, ix = divmod(ci, ncx)
+            for oi, o in enumerate(fp.GATHER_OFFSETS):
+                jx, jz = ix + int(o[0]), iz + int(o[1])
+                if 0 <= jx < ncx and 0 <= jz < ncz:
+                    nb_idx[ci, oi] = jz * ncx + jx
+                    nb_ok[ci, oi] = True
+        nbi = jnp.asarray(nb_idx)
+        mask = jnp.asarray(nb_ok)[..., None]
+
+        def nb_lists(per_chunk):
+            out = {k: v[nbi] for k, v in per_chunk.items()}
+            out["feature"] = jnp.where(mask, out["feature"], 0)
+            return out
+
+        surf = fp.gather_from_neighborhood_batch(
+            nb_lists(lists["surface"]), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+        )
+        cave = fp.gather_from_neighborhood_batch(
+            nb_lists(lists["cave"]), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+        )
+        blocks = features_mod.apply_features_batch(blocks, surf, cave, pos_in, hf_in)
+        blocks = decorators_mod.place_decorators_batch(
+            blocks, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in
+        )
     return {
         "blocks": blocks,
         "heightfield": hf_in,
