@@ -36,13 +36,21 @@ DIST_CAP = 63
 #:   byte 0: block id if solid, EMPTY_BASE−1+(3-D L∞ distance to solid) if empty
 #:   byte 1: up-clearance dxz↑ — horizontal (x,z) L∞ distance to the nearest solid
 #:     voxel AT OR ABOVE this y.  The at-or-above solid set only shrinks as y
-#:     rises, so dxz↑ is monotone in y and a non-descending ray (dy ≥ 0) may skip
-#:     dxz↑−1 blocks in any horizontal direction.
-#:   byte 2: down-clearance dxz↓ — same against solids AT OR BELOW this y; the
-#:     symmetric argument covers descending rays (dy < 0).
+#:     rises, so a non-descending ray (dy ≥ 0) may advance
+#:     (dxz↑−1)/max(|dx|,|dz|) in t without leaving verified-empty space.
+#:   byte 2: slab-2 clearance c2 — horizontal L∞ distance to the nearest solid
+#:     with y′ ∈ [y−2, y].  A descending ray that drops ≤2 blocks while moving
+#:     <c2 horizontally stays inside the verified-empty slab, so it may advance
+#:     min((c2−1)/max(|dx|,|dz|), 2/|dy|).
+#:   byte 3 (7 bits): slab-8 clearance c8 — same for y′ ∈ [y−8, y], giving
+#:     steeper descents longer skips.
 #: These are the skips that matter over open terrain: a grazing ray one block off
-#: flat ground has 3-D distance 1 (useless) but clearance = cap, so it crosses the
-#: whole fog range in a few steps instead of one per cell.
+#: flat ground has 3-D distance 1 (useless), but ascending rays see clearance =
+#: cap and shallow-descending rays ride the slab clearances, so both cross the
+#: fog range in a few steps instead of one per cell.  (An earlier design stored
+#: at-or-BELOW clearance in byte 2; over terrain the ground below makes it 0
+#: everywhere in the open air, so descending rays — the flythrough stragglers —
+#: crawled at 3-D-distance pace.)
 EMPTY_BASE = NUM_BLOCKS  # 140
 
 U8 = jnp.uint8
@@ -84,26 +92,42 @@ def chebyshev_distance(solid, cap: int = DIST_CAP, axes=(0, 1, 2), init=None):
     return jnp.minimum(d, I32(cap))
 
 
-def _horizontal_clearance(solid, cap: int = DIST_CAP, init=None, above: bool = True):
-    """dxz: per voxel, horizontal (z, x) L∞ distance to the nearest solid voxel at
-    or above (``above=True``) / at or below this y ([Z, X, Y] bool -> i32, 0 at
-    voxels with a solid in that half-column)."""
-    if above:
-        # suffix-OR along y (y index 383 = top): solid anywhere at or above
-        half = jnp.flip(jnp.cumsum(jnp.flip(solid, 2).astype(I32), axis=2), 2) > 0
-    else:
-        half = jnp.cumsum(solid.astype(I32), axis=2) > 0
+def _up_clearance(solid, cap: int = DIST_CAP, init=None):
+    """dxz↑: per voxel, horizontal (z, x) L∞ distance to the nearest solid voxel
+    at or above this y ([Z, X, Y] bool -> i32, 0 where that half-column has one)."""
+    # suffix-OR along y (y index 383 = top): solid anywhere at or above
+    half = jnp.flip(jnp.cumsum(jnp.flip(solid, 2).astype(I32), axis=2), 2) > 0
     return chebyshev_distance(half, cap, axes=(0, 1), init=init)
 
 
-def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_up=None, init_dn=None):
+def _slab_clearance(solid, k: int, cap: int = DIST_CAP, init=None):
+    """c_k: per voxel, horizontal (z, x) L∞ distance to the nearest solid voxel
+    with y′ ∈ [y−k, y] (clamped at the volume floor)."""
+    cs = jnp.cumsum(solid.astype(I32), axis=2)
+    lag = jnp.concatenate([jnp.zeros(cs.shape[:2] + (k + 1,), I32), cs[:, :, : -(k + 1)]], axis=2)
+    slab = (cs - lag) > 0
+    return chebyshev_distance(slab, cap, axes=(0, 1), init=init)
+
+
+def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_up=None,
+            init_c2=None, init_c8=None):
     dist = chebyshev_distance(solid, cap, init=init_dist)
     low = jnp.where(
         solid, vol_i32, I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
     )
-    up = jnp.clip(_horizontal_clearance(solid, cap, init=init_up, above=True), 0, 255)
-    dn = jnp.clip(_horizontal_clearance(solid, cap, init=init_dn, above=False), 0, 255)
-    return (low | (up << I32(8)) | (dn << I32(16))).astype(I32)
+    up = jnp.clip(_up_clearance(solid, cap, init=init_up), 0, 255)
+    c2 = jnp.clip(_slab_clearance(solid, 2, cap, init=init_c2), 0, 255)
+    # c8 is 7 bits: bit 31 carries the alpha-cutout flag below
+    c8 = jnp.clip(_slab_clearance(solid, 8, cap, init=init_c8), 0, 127)
+    # bit 31: this solid voxel's diffuse tile has zero-alpha texels (X-shaped
+    # flora / leaf holes) — the tracer's in-march anyhit equivalent only runs
+    # its texel gathers on iterations where some lane probes a flagged voxel
+    from .materials import ALPHA_TESTED
+
+    flag = solid & jnp.asarray(ALPHA_TESTED)[vol_i32]
+    word = (low | (up << I32(8)) | (c2 << I32(16)) | (c8 << I32(24))).astype(jnp.uint32)
+    word = word | (flag.astype(jnp.uint32) << jnp.uint32(31))
+    return jax.lax.bitcast_convert_type(word, I32)
 
 
 @jax.jit
@@ -149,7 +173,8 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     # inside the updated region then only leave the bounds conservative)
     old_dist = jnp.maximum(window - I32(EMPTY_BASE - 1), I32(1))
     old_up = (old >> I32(8)) & I32(0xFF)
-    old_dn = (old >> I32(16)) & I32(0xFF)
+    old_c2 = (old >> I32(16)) & I32(0xFF)
+    old_c8 = (old >> I32(24)) & I32(0xFF)
     # overlay new blocks (empty marked as EMPTY_BASE pending distance resweep)
     new_vals = vol_u8_region.astype(I32)
     new_solid = jnp.asarray(RENDER_SOLID)[new_vals]
@@ -160,9 +185,12 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     cap_reg = jnp.full((dz, dx, Y_SIZE), DIST_CAP, I32)
     old_dist = jax.lax.dynamic_update_slice(old_dist, cap_reg, (z0 - zlo, x0 - xlo, 0))
     old_up = jax.lax.dynamic_update_slice(old_up, cap_reg, (z0 - zlo, x0 - xlo, 0))
-    old_dn = jax.lax.dynamic_update_slice(old_dn, cap_reg, (z0 - zlo, x0 - xlo, 0))
+    old_c2 = jax.lax.dynamic_update_slice(old_c2, cap_reg, (z0 - zlo, x0 - xlo, 0))
+    old_c8 = jax.lax.dynamic_update_slice(old_c8, cap_reg, (z0 - zlo, x0 - xlo, 0))
     solid = (window > 0) & (window < EMPTY_BASE)
-    window = _encode(window, solid, init_dist=old_dist, init_up=old_up, init_dn=old_dn)
+    window = _encode(
+        window, solid, init_dist=old_dist, init_up=old_up, init_c2=old_c2, init_c8=old_c8
+    )
     return jax.lax.dynamic_update_slice(field, window, (zlo, xlo, 0))
 
 

@@ -229,6 +229,169 @@ _ab = np.clip(BLOCK_ATLAS[..., 2] * 255.0 + 0.5, 0, 255).astype(np.uint32)
 ATLAS_PACKED = (_ar | (_ag << 8) | (_ab << 16)).reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# Real texture atlases (the reference's 256×256 PNGs, 16×16 tiles of 16×16
+# texels) — loaded when available, with the procedural atlas above as the
+# fallback.  Reference behavior reproduced here:
+#   - gamma-2.2 linearization of rgb at load (optixRenderer.cpp:155-161)
+#   - per-block per-face tile coords + random-rotation/flip flags transcribed
+#     from block.cpp via world/block_uvs.py (tile y measured from PNG bottom)
+#   - alpha cutout: diffuse texel w == 0 ⇒ the intersection is ignored
+#     (anyhit, basic_shaders.cu:1022-1052) — X-shaped flora AND leaf holes
+#   - per-texel emission: a black diffuse texel with emissive w > 0 emits
+#     emissive rgb × (first hit ? 1.5 : w × 100) (basic_shaders.cu:974-993)
+#
+# TPU packing: ONE u32 gather per shading point.  The 8 rotation/flip variants
+# are BAKED host-side per (block, face) — variants a face's flags disallow
+# simply repeat the identity texels — so the tracer needs no per-lane flag
+# logic and no uv-transform select chains:
+#   TEX_DIFF[((block*3 + face)*8 + variant)*256 + v*16 + u]
+#     bits 0..23 diffuse rgb (linear), bit 24 alpha>0, bits 25..31 emissive w×127
+#   TEX_EMIS[same index]: emissive rgb (linear) — gathered only when a tile's
+#     lane set contains an emissive texel (lax.cond-gated in the tracer).
+# face: 0=side, 1=top, 2=bottom; variant: bits 0-1 rotation, bit 2 x-flip.
+# ---------------------------------------------------------------------------
+
+N_FACES = 3
+N_VARIANTS = 8
+
+
+def _variant_grid(grid_16x16xC, rot: int, flip: bool):
+    """Apply the tracer's historical (rotation, flip) uv mapping to a texel grid:
+    the baked grid G satisfies G[v, u] = identity[v', u'] where (u', v') is the
+    transformed texel coordinate."""
+    g = grid_16x16xC
+    u = np.arange(16)[None, :] * np.ones((16, 1), np.int64)
+    v = np.arange(16)[:, None] * np.ones((1, 16), np.int64)
+    if rot == 1:
+        u2, v2 = v, 15 - u
+    elif rot == 2:
+        u2, v2 = 15 - u, 15 - v
+    elif rot == 3:
+        u2, v2 = 15 - v, u
+    else:
+        u2, v2 = u, v
+    if flip:
+        u2 = 15 - u2
+    return g[v2.astype(np.int64), u2.astype(np.int64)]
+
+
+def _build_face_tables(diffuse_rgba, emissive_rgba):
+    """[256, 256, 4] u8 PNGs (rows top-down) -> (TEX_DIFF, TEX_EMIS) u32 arrays."""
+    from ..world.block_uvs import BLOCK_UVS
+
+    lin = lambda c: np.power(c.astype(np.float32) / 255.0, 2.2)
+    tex_diff = np.zeros((NUM_BLOCKS, N_FACES, N_VARIANTS, 16, 16), np.uint32)
+    tex_emis = np.zeros_like(tex_diff)
+
+    def tile(arr, tx, ty):
+        ys = (15 - ty) * 16  # tile y counts from the PNG bottom
+        return arr[ys : ys + 16, tx * 16 : tx * 16 + 16]
+
+    for bi in range(NUM_BLOCKS):
+        name = Block(bi).name
+        entry = BLOCK_UVS.get(name)
+        if entry is None:
+            tiles, rots, flips = [(0, 0)] * 3, (False,) * 3, (False,) * 3
+        else:
+            tiles, rots, flips = [entry[0], entry[1], entry[2]], entry[3], entry[4]
+        for f in range(N_FACES):
+            dt = tile(diffuse_rgba, *tiles[f]).astype(np.float32)
+            et = tile(emissive_rgba, *tiles[f]).astype(np.float32)
+            d_rgb = np.clip(lin(dt[..., :3]) * 255.0 + 0.5, 0, 255).astype(np.uint32)
+            alpha = (dt[..., 3] > 0).astype(np.uint32)
+            e_rgb = np.clip(lin(et[..., :3]) * 255.0 + 0.5, 0, 255).astype(np.uint32)
+            e_w = np.clip(et[..., 3] / 255.0 * 127.0 + 0.5, 0, 127).astype(np.uint32)
+            dpack = (
+                d_rgb[..., 0] | (d_rgb[..., 1] << 8) | (d_rgb[..., 2] << 16)
+                | (alpha << 24) | (e_w << 25)
+            )
+            epack = e_rgb[..., 0] | (e_rgb[..., 1] << 8) | (e_rgb[..., 2] << 16)
+            for var in range(N_VARIANTS):
+                rot = (var & 3) if rots[f] else 0
+                flip = bool(var & 4) and flips[f]
+                tex_diff[bi, f, var] = _variant_grid(dpack, rot, flip)
+                tex_emis[bi, f, var] = _variant_grid(epack, rot, flip)
+    return tex_diff.reshape(-1), tex_emis.reshape(-1)
+
+
+def _procedural_face_tables():
+    """Fallback when the PNG assets are absent: the procedural atlas replicated
+    over faces/variants, alpha solid, per-texel emission from the block table."""
+    d_rgb = np.clip(BLOCK_ATLAS * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    e_w = np.clip(BLOCK_EMISSION_W * 127.0 + 0.5, 0, 127).astype(np.uint32)
+    emissive = e_w > 0
+    # per-texel emission: emissive blocks keep their tile colors as emission and
+    # black diffuse (matches the reference's black-diffuse-texel convention)
+    dpack = np.where(
+        emissive[:, None, None],
+        (np.uint32(1) << 24) | (e_w[:, None, None] << 25),
+        d_rgb[..., 0] | (d_rgb[..., 1] << 8) | (d_rgb[..., 2] << 16)
+        | (np.uint32(1) << 24),
+    ).astype(np.uint32)
+    epack = (d_rgb[..., 0] | (d_rgb[..., 1] << 8) | (d_rgb[..., 2] << 16)).astype(
+        np.uint32
+    )
+    tex_diff = np.broadcast_to(
+        dpack[:, None, None], (NUM_BLOCKS, N_FACES, N_VARIANTS, 16, 16)
+    )
+    tex_emis = np.broadcast_to(
+        epack[:, None, None], (NUM_BLOCKS, N_FACES, N_VARIANTS, 16, 16)
+    )
+    return np.ascontiguousarray(tex_diff).reshape(-1), np.ascontiguousarray(
+        tex_emis
+    ).reshape(-1)
+
+
+def _load_atlases():
+    import os
+
+    path = os.environ.get("MMTPU_ATLAS_DIR")
+    if path is None and os.path.exists("/root/reference/textures/blocks_diffuse.png"):
+        path = "/root/reference/textures"
+    if path:
+        try:
+            from PIL import Image
+
+            diff = np.asarray(Image.open(os.path.join(path, "blocks_diffuse.png")).convert("RGBA"))
+            emis = np.asarray(Image.open(os.path.join(path, "blocks_emissive.png")).convert("RGBA"))
+            td, te = _build_face_tables(diff, emis)
+            return td, te, True
+        except Exception:
+            pass
+    td, te = _procedural_face_tables()
+    return td, te, False
+
+
+#: [NUM_BLOCKS*3*8*256] u32 — see packing note above
+TEX_DIFF_PACKED, TEX_EMIS_PACKED, HAS_REAL_ATLAS = _load_atlases()
+
+#: blocks whose diffuse tiles contain zero-alpha texels (data-driven: X-shaped
+#: flora and leaf canopies with the real atlas; empty for the solid procedural
+#: fallback).  brickmap flags these voxels so the tracer's in-march alpha test
+#: only pays its gathers where such blocks are actually probed.
+from ..world.blocks import RENDER_SOLID as _RENDER_SOLID_NP  # noqa: E402
+
+_alpha_bits = (TEX_DIFF_PACKED.reshape(NUM_BLOCKS, -1) >> np.uint32(24)) & np.uint32(1)
+ALPHA_TESTED = (_alpha_bits == 0).any(axis=1) & _RENDER_SOLID_NP.astype(bool)
+
+
+def unpack_diffuse_texel(t_u32):
+    """TEX_DIFF word -> (r, g, b in [0,1], alpha bool, emissive w in [0,1])."""
+    import jax.numpy as jnp
+
+    p = t_u32.astype(jnp.uint32)
+    inv = jnp.float32(1.0 / 255.0)
+    r = (p & jnp.uint32(0xFF)).astype(jnp.float32) * inv
+    g = ((p >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv
+    b = ((p >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) * inv
+    alpha = ((p >> jnp.uint32(24)) & jnp.uint32(1)) > 0
+    emis_w = ((p >> jnp.uint32(25)) & jnp.uint32(0x7F)).astype(jnp.float32) * jnp.float32(
+        1.0 / 127.0
+    )
+    return r, g, b, alpha, emis_w
+
+
 def unpack_texel(t_u32):
     import jax.numpy as jnp
 

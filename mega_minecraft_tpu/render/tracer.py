@@ -36,13 +36,15 @@ from ..world.blocks import Block, X_SHAPED_HI, X_SHAPED_LO
 from . import sky as sky_mod
 from .brickmap import EMPTY_BASE, Scene
 from .materials import (
-    ATLAS_PACKED,
     BLOCK_PROPS,
     MAT_IOR,
     MAT_ROUGHNESS,
     MAT_SPECULAR,
     MAT_WAVY,
+    TEX_DIFF_PACKED,
+    TEX_EMIS_PACKED,
     mat_scalar,
+    unpack_diffuse_texel,
     unpack_props,
     unpack_texel,
 )
@@ -125,8 +127,16 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     med_i32 = medium.astype(I32)
     is_air_medium = med_i32 == I32(AIR)
     empty_base = I32(EMPTY_BASE)
+    _tex_diff_tab = jnp.asarray(TEX_DIFF_PACKED)  # in-march alpha cutout table
 
     ascending = dy >= F32(0.0)
+    # loop-invariant inverse speeds: a t-advance of s moves s·|component| blocks
+    # along each axis, so clearance-based skips divide by the relevant speed —
+    # near-axial rays ride a clearance byte much further than its raw value
+    h_inf = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dz)), F32(1e-6))
+    inv_h = F32(1.0) / h_inf
+    inv_dy_abs = F32(1.0) / jnp.maximum(jnp.abs(dy), F32(1e-6))
+    inv_maxc = F32(1.0) / jnp.maximum(h_inf, jnp.abs(dy))
 
     def body(state):
         t, alive, hit, hit_block, hit_x, x_use_a, step = state
@@ -139,11 +149,11 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
 
         packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (i32) gather
         val = packed & I32(0xFF)
-        # direction-matched horizontal clearance: byte 1 (solids at-or-above) for
-        # non-descending rays, byte 2 (solids at-or-below) for descending rays
-        dxz = jnp.where(
-            ascending, (packed >> I32(8)) & I32(0xFF), (packed >> I32(16)) & I32(0xFF)
-        ).astype(F32)
+        # direction-matched clearances (brickmap.py encoding): byte 1 = at-or-above
+        # for non-descending rays; bytes 2/3 = slab-2/slab-8 for descending rays
+        up_b = ((packed >> I32(8)) & I32(0xFF)).astype(F32)
+        c2_b = ((packed >> I32(16)) & I32(0xFF)).astype(F32)
+        c8_b = ((packed >> I32(24)) & I32(0x7F)).astype(F32)  # bit 31 = alpha flag
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
         is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
 
@@ -175,11 +185,63 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_b = ((F32(1.0) + cx0 + cz0) - (ox + oz)) / jnp.where(jnp.abs(den_b) < F32(1e-6), F32(1.0), den_b)
         ok_a = (jnp.abs(den_a) >= F32(1e-6)) & (t_a >= t) & (t_a <= t_exit)
         ok_b = (jnp.abs(den_b) >= F32(1e-6)) & (t_b >= t) & (t_b <= t_exit)
-        t_q = jnp.where(ok_a & (~ok_b | (t_a <= t_b)), t_a, t_b)
-        quad_ok = ok_a | ok_b
-        use_a = ok_a & (~ok_b | (t_a <= t_b))
+        # ---- alpha cutout (the anyhit equivalent, basic_shaders.cu:1022-1052):
+        # field bit 31 marks solids whose diffuse tile has zero-alpha texels
+        # (X flora + leaf holes with the real atlas; never set for the solid
+        # procedural fallback).  The texel gathers run only on iterations where
+        # some lane actually probes a flagged voxel (tile-scalar lax.cond).
+        alpha_lane = candidate & (packed < I32(0))
 
-        new_hit = candidate & jnp.where(is_x, quad_ok, True)
+        def _texel_alpha(u, v, face_base):
+            # variant 0: alpha-holed blocks never enable random rotation/flip
+            tu = jnp.floor(jnp.clip(u - jnp.floor(u), 0.0, 0.999) * F32(16.0)).astype(I32)
+            tv = jnp.floor(jnp.clip(v - jnp.floor(v), 0.0, 0.999) * F32(16.0)).astype(I32)
+            idx = val * I32(3 * 8 * 256) + face_base + tv * 16 + tu
+            texel = _tex_diff_tab[idx]
+            return ((texel >> jnp.uint32(24)) & jnp.uint32(1)) > 0
+
+        def _with_alpha():
+            # X quads: test each plane's texel at its own uv (side tile; u runs
+            # along the quad diagonal = frac x, v down from the block top)
+            def quad(t_hit):
+                hx = ox + dx * t_hit
+                hy = oy + dy * t_hit
+                return _texel_alpha(hx, F32(1.0) - (hy - jnp.floor(hy)), I32(0))
+
+            qa = ok_a & quad(t_a)
+            qb = ok_b & quad(t_b)
+            # full blocks (leaves): test the entry-face texel
+            exf = (vx.astype(F32) + (dx < 0) + orig[0] - ox) * idx_
+            eyf = (vy.astype(F32) + (dy < 0) + orig[1] - oy) * idy_
+            ezf = (vz.astype(F32) + (dz < 0) + orig[2] - oz) * idz_
+            t_en = jnp.maximum(jnp.maximum(exf, eyf), ezf)
+            on_yf = (eyf >= t_en) & (exf < t_en)
+            on_xf = exf >= t_en
+            face_b = jnp.where(
+                on_yf, jnp.where(dy < 0, I32(1 * 8 * 256), I32(2 * 8 * 256)), I32(0)
+            )
+            hx = ox + dx * t_en
+            hy = oy + dy * t_en
+            hz = oz + dz * t_en
+            fu = jnp.where(on_yf, hx, jnp.where(on_xf, hz, hx))
+            fv = jnp.where(on_yf, hz, F32(1.0) - (hy - jnp.floor(hy)))
+            fa = _texel_alpha(fu, fv, face_b)
+            return qa, qb, fa
+
+        def _no_alpha():
+            ones = ok_a | True  # derived, not a literal: keeps vma matching _with_alpha
+            return ok_a, ok_b, ones
+
+        qa2, qb2, face_ok2 = jax.lax.cond(jnp.any(alpha_lane), _with_alpha, _no_alpha)
+        ok_a2 = jnp.where(alpha_lane, qa2, ok_a)
+        ok_b2 = jnp.where(alpha_lane, qb2, ok_b)
+        face_ok = jnp.where(alpha_lane & ~is_x, face_ok2, True)
+
+        t_q = jnp.where(ok_a2 & (~ok_b2 | (t_a <= t_b)), t_a, t_b)
+        quad_ok = ok_a2 | ok_b2
+        use_a = ok_a2 & (~ok_b2 | (t_a <= t_b))
+
+        new_hit = candidate & jnp.where(is_x, quad_ok, face_ok)
         new_x = new_hit & is_x
         hit_block = jnp.where(
             new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
@@ -191,13 +253,20 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t = jnp.where(new_x, t_q, t)
         alive = alive & ~new_hit
 
-        # advance: at least to the current 1³ cell exit; in air additionally skip
-        # (dist − 1) blocks, safe under the L∞ bound
-        skip3d = val.astype(F32) - F32(EMPTY_BASE)  # = dist − 1 for empty voxels
-        # rays may additionally skip the direction-matched horizontal clearance:
-        # the at-or-above (at-or-below) solid set only shrinks as the ray rises
-        # (descends), so the clearance cylinder stays empty along the ray
-        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, dxz - F32(1.0)), F32(0.0))
+        # advance: at least to the current 1³ cell exit; in air additionally take
+        # the largest safe skip.  Every skip keeps the ray inside voxels PROVEN
+        # empty by the gathered clearances (so landings are always in empty
+        # voxels and solid/X voxels are only ever entered by exact boundary
+        # steps — traversal results are bit-identical for any skip policy):
+        #   3-D: t-advance s moves ≤ s·max|comp| in L∞, safe while < dist
+        #   up (dy ≥ 0): horizontal move s·max(|dx|,|dz|) < dxz↑, rise unlimited
+        #   slab-k (dy < 0): horizontal < c_k AND drop s·|dy| ≤ k
+        skip3d = (val.astype(F32) - F32(EMPTY_BASE)) * inv_maxc  # <0 at solids
+        s_up = (up_b - F32(1.0)) * inv_h
+        s2 = jnp.minimum((c2_b - F32(1.0)) * inv_h, F32(2.0) * inv_dy_abs)
+        s8 = jnp.minimum((c8_b - F32(1.0)) * inv_h, F32(8.0) * inv_dy_abs)
+        skip_dir = jnp.where(ascending, s_up, jnp.maximum(s2, s8))
+        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_dir), F32(0.0))
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)
@@ -210,13 +279,16 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         return jnp.any(alive) & (step < max_steps)
 
     t0 = jnp.where(alive0, t_start, F32(1e20))
+    # init carries derive from alive0 so their shard_map varying-axes match the
+    # loop outputs (a bare jnp.zeros literal is unvarying and fails vma checks)
+    false0 = alive0 ^ alive0
     init = (
         t0,
         alive0,
-        jnp.zeros_like(alive0),
-        jnp.zeros(jnp.shape(ox), U8),
-        jnp.zeros_like(alive0),
-        jnp.zeros_like(alive0),
+        false0,
+        false0.astype(U8),
+        false0,
+        false0,
         jnp.zeros((), I32),
     )
     t, _, hit, hit_block, hit_x, x_use_a, _ = jax.lax.while_loop(cond, body, init)
@@ -436,34 +508,38 @@ def _render_rows(
     )
 
     shape = (height, width)
-    zeros = jnp.zeros(shape, F32)
+    # all loop-state zeros/constants derive from the (row0-dependent) rays so
+    # their shard_map varying-axes match the loop outputs (bare literals are
+    # unvarying and fail the while_loop vma check under shard_map)
+    zeros = dx * F32(0.0)
     f0 = lambda: (zeros, zeros, zeros)
 
     pos = (
-        jnp.broadcast_to(cam.position[0], shape),
-        jnp.broadcast_to(cam.position[1], shape),
-        jnp.broadcast_to(cam.position[2], shape),
+        cam.position[0] + zeros,
+        cam.position[1] + zeros,
+        cam.position[2] + zeros,
     )
 
     props_tab = jnp.asarray(BLOCK_PROPS)
-    atlas_tab = jnp.asarray(ATLAS_PACKED)
+    tex_diff_tab = jnp.asarray(TEX_DIFF_PACKED)
+    tex_emis_tab = jnp.asarray(TEX_EMIS_PACKED)
 
     sun_y = params.sun_dir[1]
 
     state = dict(
-        depth=jnp.zeros(shape, I32),
+        depth=zeros.astype(I32),
         it=jnp.zeros((), I32),
         pos=pos,
         dir=(dx, dy, dz),
-        medium=jnp.full(shape, U8(AIR)),
+        medium=(zeros + F32(AIR)).astype(U8),
         seed=seed,
         ray_color=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
         pixel_color=f0(),
         albedo=f0(),
         normal=f0(),
-        needs_first=jnp.ones(shape, bool),
-        done=jnp.zeros(shape, bool),
-        scattered=jnp.zeros(shape, bool),
+        needs_first=zeros == zeros,
+        done=zeros != zeros,
+        scattered=zeros != zeros,
         scatter_pos=pos,
         scatter_factor=zeros + 1.0,
         fog_color=f0(),
@@ -486,7 +562,9 @@ def _render_rows(
         ox, oy, oz = s["pos"]
         ddx, ddy, ddz = s["dir"]
         seed = s["seed"]
-        needs_first = s["needs_first"] if first else jnp.zeros(s["needs_first"].shape, bool)
+        # non-first: constant False, but derived from the carry so the shard_map
+        # varying axes match the loop output (a bare zeros literal is unvarying)
+        needs_first = s["needs_first"] if first else s["needs_first"] & False
 
         res = trace(
             scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
@@ -563,13 +641,16 @@ def _render_rows(
         is_spec = mat_scalar(mat, MAT_SPECULAR)
         rough = mat_scalar(mat, MAT_ROUGHNESS)
         ior = mat_scalar(mat, MAT_IOR)
-        # procedural 16×16 atlas fetch by entry-face UV with a per-voxel/face random
-        # rotation+flip (the reference's texture sampling, chunk.cu:1950-1990 +
-        # closesthit texture fetch); ONE u32 gather.  The medium-exit pseudo-surface
-        # keeps the flat palette color.
+        # 16×16 atlas fetch (real gamma-linearized atlases when available,
+        # procedural fallback otherwise — materials.TEX_DIFF_PACKED) by per-face
+        # tile with a per-voxel/face random rotation+flip VARIANT baked into the
+        # table (the reference's texture sampling, chunk.cu:1950-1990 + the
+        # closesthit fetch); ONE u32 gather.  face: 0=side 1=top 2=bottom.
+        # The medium-exit pseudo-surface keeps the flat palette color.
         frac = lambda a: a - jnp.floor(a)
         on_y = jnp.abs(res.ny) > F32(0.5)
         on_x = jnp.abs(res.nx) > F32(0.5)
+        face = jnp.where(on_y, jnp.where(res.ny > 0, I32(1), I32(2)), I32(0))
         fu = jnp.where(on_y, frac(isx), jnp.where(on_x, frac(isz), frac(isx)))
         fv = jnp.where(on_y, frac(isz), F32(1.0) - frac(isy))
         tu = jnp.clip(jnp.floor(fu * F32(16.0)).astype(I32), 0, 15)
@@ -578,13 +659,9 @@ def _render_rows(
         vyf = jnp.floor(isy - res.ny * 0.5)
         vzf = jnp.floor(isz - res.nz * 0.5)
         hface = hashes.rand1_from3(vxf + res.nx, vyf + res.ny * 2, vzf + res.nz * 3)
-        rot = jnp.floor(hface * F32(8.0)).astype(I32)
-        r2 = rot & 3
-        tu2 = jnp.where(r2 == 1, tv, jnp.where(r2 == 2, 15 - tu, jnp.where(r2 == 3, 15 - tv, tu)))
-        tv2 = jnp.where(r2 == 1, 15 - tu, jnp.where(r2 == 2, 15 - tv, jnp.where(r2 == 3, tu, tv)))
-        tu2 = jnp.where(rot >= 4, 15 - tu2, tu2)
-        texel = atlas_tab[eff_blk * 256 + tv2 * 16 + tu2]
-        tr, tg, tb = unpack_texel(texel)
+        variant = jnp.floor(hface * F32(8.0)).astype(I32)
+        texel = tex_diff_tab[((eff_blk * 3 + face) * 8 + variant) * 256 + tv * 16 + tu]
+        tr, tg, tb, _alpha, emis_w_tex = unpack_diffuse_texel(texel)
         col_r = jnp.where(exit_to_air, col_r, tr)
         col_g = jnp.where(exit_to_air, col_g, tg)
         col_b = jnp.where(exit_to_air, col_b, tb)
@@ -696,15 +773,45 @@ def _render_rows(
         dcol_g = jnp.where(is_micro, col_g * micro_mul, col_g)
         dcol_b = jnp.where(is_micro, col_b * micro_mul, col_b)
 
-        # ---- emissive ----
-        emissive = h_shade & ~spec & (emis_w > F32(0.0))
+        # ---- emissive (per texel, basic_shaders.cu:974-993): a black diffuse
+        # texel with emissive w > 0 emits emissive rgb × (first ? 1.5 : w×100).
+        # The emissive-rgb gather only runs when a lane in this tile needs it.
+        _ = emis_w  # block-level emission superseded by the per-texel channel
+        emissive = (
+            h_shade & ~spec & ~exit_to_air
+            & ((texel & jnp.uint32(0xFFFFFF)) == 0) & (emis_w_tex > F32(0.0))
+        )
+
+        def _emis_rgb():
+            et = tex_emis_tab[((eff_blk * 3 + face) * 8 + variant) * 256 + tv * 16 + tu]
+            return unpack_texel(et)
+
+        e_r, e_g, e_b = jax.lax.cond(
+            jnp.any(emissive), _emis_rgb, lambda: (zeros, zeros, zeros)
+        )
         if first:
-            e_strength = jnp.where(needs_first, F32(1.5), emis_w * F32(100.0))
+            e_strength = jnp.where(needs_first, F32(1.5), emis_w_tex * F32(100.0))
         else:
-            e_strength = emis_w * F32(100.0)
-        pr = pr + jnp.where(emissive, rr * col_r * e_strength, 0.0)
-        pg = pg + jnp.where(emissive, rg * col_g * e_strength, 0.0)
-        pb = pb + jnp.where(emissive, rb * col_b * e_strength, 0.0)
+            e_strength = emis_w_tex * F32(100.0)
+        ecr, ecg, ecb = e_r * e_strength, e_g * e_strength, e_b * e_strength
+        pr = pr + jnp.where(emissive, rr * ecr, 0.0)
+        pg = pg + jnp.where(emissive, rg * ecg, 0.0)
+        pb = pb + jnp.where(emissive, rb * ecb, 0.0)
+        if first:
+            # the reference records the emissive color itself as the first-hit
+            # albedo (closesthit emission branch) and stops first-hit capture
+            em_first = emissive & needs_first
+            ar = jnp.where(em_first, ecr, ar)
+            ag = jnp.where(em_first, ecg, ag)
+            ab = jnp.where(em_first, ecb, ab)
+            nr = jnp.where(em_first, nx, nr)
+            ng = jnp.where(em_first, ny, ng)
+            nb = jnp.where(em_first, nz, nb)
+            fcr = jnp.where(em_first, fog_r, fcr)
+            fcg = jnp.where(em_first, fog_g, fcg)
+            fcb = jnp.where(em_first, fog_b, fcb)
+            fog_factor = jnp.where(em_first, hit_fog_factor, fog_factor)
+            needs_first = needs_first & ~em_first
 
         # ---- ray color / position / direction updates ----
         diffuse_like = h_shade & ~spec & ~emissive
@@ -844,10 +951,15 @@ def render_sample(
     frame_id,
     tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
+    row0=0,
+    full_height: int | None = None,
 ):
-    """One 1-spp path-traced sample of the full frame.
+    """One 1-spp path-traced sample of ``height`` rows starting at global row
+    ``row0`` of a ``full_height``-row frame (defaults: the full frame).  ``row0``
+    may be a traced scalar — the multi-chip path (parallel.sharding.sharded_render)
+    passes each device's band offset from inside ``shard_map``.
 
-    Returns (color, albedo, normal) [H, W, 3] f32 (NOT accumulated).
+    Returns (color, albedo, normal) [height, W, 3] f32 (NOT accumulated).
 
     ``tile_rows`` (static): path-trace the frame in independent horizontal bands,
     sequenced by ``lax.map`` — every band runs its own bounce/DDA ``while_loop``s and
@@ -860,6 +972,8 @@ def render_sample(
     picks ~320-wide tiles for wide frames (measured on the 9x9 scene: 1080p
     5.09 -> 2.55 s/frame, 540p 1.22 -> 0.74) and no column tiling below 960 px.
     """
+    if full_height is None:
+        full_height = height
     if tile_cols == "auto":
         tile_cols = None
         if width >= 960:
@@ -871,8 +985,9 @@ def render_sample(
         # with column tiles the per-tile lane count shrinks; taller tiles keep the
         # VPU fed (measured at 1080p: (4,320) 2.55 s vs (8,320) 2.34 s)
         tile_rows = 8 if tile_cols else TILE_ROWS
+    row0 = jnp.asarray(row0, I32)
     if tile_rows is None or tile_rows >= height:
-        return _render_rows(scene, cam, params, height, width, frame_id, 0, height)
+        return _render_rows(scene, cam, params, height, width, frame_id, row0, full_height)
 
     n_full = height // tile_rows
     rem = height - n_full * tile_rows
@@ -883,7 +998,7 @@ def render_sample(
         def tile(off):
             return _render_rows(
                 scene, cam, params, tile_rows, tile_cols, frame_id,
-                off[0], height, off[1], width,
+                row0 + off[0], full_height, off[1], width,
             )
 
         offs = np.array(
@@ -900,19 +1015,19 @@ def render_sample(
 
         c, a, n = asm(c), asm(a), asm(n)
     else:
-        def band(row0):
+        def band(band_row0):
             return _render_rows(
-                scene, cam, params, tile_rows, width, frame_id, row0, height
+                scene, cam, params, tile_rows, width, frame_id, band_row0, full_height
             )
 
-        offsets = jnp.arange(n_full, dtype=I32) * tile_rows
+        offsets = row0 + jnp.arange(n_full, dtype=I32) * tile_rows
         c, a, n = jax.lax.map(band, offsets)  # [n_full, tile_rows, W, 3] each
         c = c.reshape(n_full * tile_rows, width, 3)
         a = a.reshape(n_full * tile_rows, width, 3)
         n = n.reshape(n_full * tile_rows, width, 3)
     if rem:
         cr, ar, nr = _render_rows(
-            scene, cam, params, rem, width, frame_id, n_full * tile_rows, height
+            scene, cam, params, rem, width, frame_id, row0 + n_full * tile_rows, full_height
         )
         c = jnp.concatenate([c, cr], axis=0)
         a = jnp.concatenate([a, ar], axis=0)

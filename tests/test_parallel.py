@@ -42,6 +42,39 @@ class TestShardedErosion:
         np.testing.assert_allclose(out, g, atol=1e-5)
 
 
+class TestShardedRender:
+    @pytest.mark.slow  # compiles the tracer on XLA:CPU (minutes on a small host)
+    def test_matches_single_device(self, mesh):
+        """8-shard shard_map render must match the single-device frame to float-ulp
+        tolerance (rays are keyed by global pixel coords; each shard tiles locally —
+        the only divergence is XLA re-association differences between the shard_map
+        and plain-jit compilations, measured ≤4e-6 on <3% of pixels)."""
+        from mega_minecraft_tpu.render import brickmap, camera, tracer
+        from mega_minecraft_tpu.render import sky as sky_mod
+        from mega_minecraft_tpu.world.blocks import Block
+
+        vol = np.zeros((1, 1, 16, 16, 384), np.uint8)
+        vol[..., :100] = int(Block.STONE)
+        vol[..., 99:100] = int(Block.GRASS_BLOCK)
+        vol[0, 0, 6:10, 6:10, 100:104] = int(Block.STONE)
+        with jax.default_device(jax.devices("cpu")[0]):
+            scene = brickmap.build_scene(jnp.asarray(vol), 0, 0)
+            H, W = 16, 32
+            player = camera.Player(pos=np.array([8.0, 120.0, -10.0], np.float32), phi=-0.5)
+            cam = player.camera_params(W, H)
+            params = sky_mod.sky_params(1.0, 0.0)
+            single = tracer.render_sample(
+                scene, cam, params, H, W, jnp.int32(3), tile_rows=2, tile_cols=None
+            )
+        shard = sharding.sharded_render(
+            mesh, scene, cam, params, H, W, jnp.int32(3), tile_rows=2, tile_cols=None
+        )
+        for s, g in zip(single, shard):
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(g), atol=1e-5, rtol=5e-5
+            )
+
+
 class TestDataParallelGeneration:
     def test_matches_unsharded(self, mesh):
         subset = {Biome.PLAINS: None, Biome.DESERT: None}

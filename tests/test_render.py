@@ -222,3 +222,55 @@ class TestXShapedFlora:
         res = tracer.trace(scene, o[0], o[1], o[2], d[0], d[1], d[2],
                            jnp.zeros((1,), jnp.uint8))
         assert not bool(res.hit[0])
+
+
+class TestAlphaCutout:
+    """anyhit alpha-test equivalent (basic_shaders.cu:1022-1052): rays pass
+    through zero-alpha texels of X flora quads and leaf-block faces."""
+
+    pytestmark = pytest.mark.skipif(
+        not __import__("mega_minecraft_tpu.render.materials", fromlist=["x"]).HAS_REAL_ATLAS,
+        reason="needs the real texture atlases (MMTPU_ATLAS_DIR)",
+    )
+
+    def test_ray_through_tuft_gap_passes(self):
+        from mega_minecraft_tpu.render import tracer
+
+        vol = np.zeros((32, 32, 384), np.uint8)
+        vol[:, :, :100] = int(Block.STONE)
+        vol[8, 8, 100] = int(Block.GRASS)
+        chunks = vol.reshape(2, 16, 2, 16, 384).transpose(0, 2, 1, 3, 4)
+        scene = brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+        # v near 0 (top of the tile): the tuft's top rows are fully transparent
+        o = [jnp.full((1,), v, jnp.float32) for v in (8.5, 100.97, -2.0)]
+        d = [jnp.full((1,), v, jnp.float32) for v in (0.0, 0.0, 1.0)]
+        res = tracer.trace(scene, o[0], o[1], o[2], d[0], d[1], d[2],
+                           jnp.zeros((1,), jnp.uint8))
+        assert not bool(res.hit[0])  # grazes over the ground through the gap
+
+    def test_leaf_holes_let_rays_through(self):
+        from mega_minecraft_tpu.render import materials, tracer
+
+        b = int(Block.BIRCH_LEAVES)
+        tile = materials.TEX_DIFF_PACKED.reshape(-1, 3, 8, 16, 16)[b, 0, 0]
+        alpha = ((tile >> np.uint32(24)) & 1).astype(bool)
+        # pick one transparent and one opaque texel on the side face (z entry)
+        tv_hole, tu_hole = [int(i[0]) for i in np.nonzero(~alpha)]
+        tv_hit, tu_hit = [int(i[0]) for i in np.nonzero(alpha)]
+
+        vol = np.zeros((32, 32, 384), np.uint8)
+        vol[8, 8, 200] = b  # a single floating leaves block at (x=8, z=8, y=200)
+        chunks = vol.reshape(2, 16, 2, 16, 384).transpose(0, 2, 1, 3, 4)
+        scene = brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+
+        def shoot(tu, tv):
+            x = 8.0 + (tu + 0.5) / 16.0
+            y = 201.0 - (tv + 0.5) / 16.0
+            o = [jnp.full((1,), v, jnp.float32) for v in (x, y, -2.0)]
+            d = [jnp.full((1,), v, jnp.float32) for v in (0.0, 0.0, 1.0)]
+            return tracer.trace(scene, o[0], o[1], o[2], d[0], d[1], d[2],
+                                jnp.zeros((1,), jnp.uint8))
+
+        assert not bool(shoot(tu_hole, tv_hole).hit[0])
+        res = shoot(tu_hit, tv_hit)
+        assert bool(res.hit[0]) and int(res.block[0]) == b
