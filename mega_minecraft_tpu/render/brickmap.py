@@ -32,26 +32,34 @@ DIST_CAP = 63
 
 #: field encoding (i32, ONE gather per DDA step yields everything; i32 rather than
 #: u16 because TPU gathers of 32-bit elements measure ~7.4 ns/lane vs ~12.3 ns for
-#: 16-bit — the dtype, not the table size, sets the cost):
-#:   byte 0: block id if solid, EMPTY_BASE−1+(3-D L∞ distance to solid) if empty
-#:   byte 1: up-clearance dxz↑ — horizontal (x,z) L∞ distance to the nearest solid
-#:     voxel AT OR ABOVE this y.  The at-or-above solid set only shrinks as y
-#:     rises, so a non-descending ray (dy ≥ 0) may advance
+#: 16-bit — the dtype, not the table size, sets the cost).  All clearances are
+#: bounded by the Chebyshev relaxation cap DIST_CAP = 63, so 6 bits are lossless:
+#:   bits 0-7: block id if solid, EMPTY_BASE−1+(3-D L∞ distance to solid) if empty
+#:   bits 8-13: up-clearance dxz↑ — horizontal (x,z) L∞ distance to the nearest
+#:     solid voxel AT OR ABOVE this y.  The at-or-above solid set only shrinks as
+#:     y rises, so a non-descending ray (dy ≥ 0) may advance
 #:     (dxz↑−1)/max(|dx|,|dz|) in t without leaving verified-empty space.
-#:   byte 2: slab-2 clearance c2 — horizontal L∞ distance to the nearest solid
+#:   bits 14-19: slab-2 clearance c2 — horizontal L∞ distance to the nearest solid
 #:     with y′ ∈ [y−2, y].  A descending ray that drops ≤2 blocks while moving
 #:     <c2 horizontally stays inside the verified-empty slab, so it may advance
 #:     min((c2−1)/max(|dx|,|dz|), 2/|dy|).
-#:   byte 3 (7 bits): slab-8 clearance c8 — same for y′ ∈ [y−8, y], giving
-#:     steeper descents longer skips.
+#:   bits 20-25: slab-8 clearance c8 — same for y′ ∈ [y−8, y], giving
+#:     steeper descents longer skips (canopies/cave ceilings, where the skyline
+#:     term below is blocked).
+#:   bits 26-30: skyline descent q — (y − max solid height within horizontal L∞
+#:     radius SKY_R)/4, so a descending ray above the LOCAL SKYLINE may drop
+#:     4q−1 blocks while moving ≤ SKY_R horizontally: aerial/fly-through rays
+#:     reach the terrain in a handful of steps instead of crawling at ≤8 blocks
+#:     of descent per step through hundreds of meters of open sky.
 #: These are the skips that matter over open terrain: a grazing ray one block off
 #: flat ground has 3-D distance 1 (useless), but ascending rays see clearance =
-#: cap and shallow-descending rays ride the slab clearances, so both cross the
-#: fog range in a few steps instead of one per cell.  (An earlier design stored
-#: at-or-BELOW clearance in byte 2; over terrain the ground below makes it 0
-#: everywhere in the open air, so descending rays — the flythrough stragglers —
-#: crawled at 3-D-distance pace.)
+#: cap, shallow-descending rays ride the slab clearances, and steep-descending
+#: rays ride the skyline, so all of them cross the fog range in a few steps
+#: instead of one per cell.  (An earlier design stored at-or-BELOW clearance;
+#: over terrain the ground below makes it 0 everywhere in the open air, so
+#: descending rays — the flythrough stragglers — crawled at 3-D-distance pace.)
 EMPTY_BASE = NUM_BLOCKS  # 140
+SKY_R = 8  # skyline horizontal radius (blocks)
 
 U8 = jnp.uint8
 U16 = jnp.uint16
@@ -109,25 +117,77 @@ def _slab_clearance(solid, k: int, cap: int = DIST_CAP, init=None):
     return chebyshev_distance(slab, cap, axes=(0, 1), init=init)
 
 
+def _shift_max(d, s: int, axis: int, fill):
+    pad = [(0, 0)] * d.ndim
+    pad[axis] = (s, s)
+    p = jnp.pad(d, pad, constant_values=fill)
+    n = d.shape[axis]
+    lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+    hi = jax.lax.slice_in_dim(p, 2 * s, 2 * s + n, axis=axis)
+    return jnp.maximum(d, jnp.maximum(lo, hi))
+
+
+def _dilate_max_2d(d, r: int, fill):
+    """Grayscale dilation of a [Z, X] map by the L∞ ball of radius ``r`` via
+    doubling rounds (window compositions add: [−a,a]∘[−b,b] = [−(a+b),(a+b)])."""
+    s, reach = 1, 0
+    while reach < r:
+        step = min(s, r - reach)
+        for axis in (0, 1):
+            d = _shift_max(d, step, axis, fill)
+        reach += step
+        s *= 2
+    return d
+
+
+def _skyline_descent(solid, r: int = SKY_R, init=None):
+    """q: per voxel, (y − max solid top within horizontal L∞ radius r) // 4,
+    clipped to [0, 31] ([Z, X, Y] bool -> i32).  A stored q ≥ 1 proves every
+    voxel within r horizontally and ≥ y − (4q − 1) vertically is empty."""
+    ydim = solid.shape[2]
+    yidx = jnp.arange(ydim, dtype=I32)
+    top = jnp.max(jnp.where(solid, yidx[None, None, :], I32(-1)), axis=2)  # [Z, X]
+    sky = _dilate_max_2d(top, r, -1)
+    q = jnp.clip(yidx[None, None, :] - sky[:, :, None], 0, 124) // I32(4)
+    if init is not None:
+        q = jnp.minimum(q, init.astype(I32))
+    return q
+
+
 def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_up=None,
-            init_c2=None, init_c8=None):
+            init_c2=None, init_c8=None, init_q=None):
+    assert cap <= 63, "clearance fields are 6-bit"
     dist = chebyshev_distance(solid, cap, init=init_dist)
     low = jnp.where(
         solid, vol_i32, I32(EMPTY_BASE - 1) + jnp.clip(dist, 1, 255 - EMPTY_BASE + 1)
     )
-    up = jnp.clip(_up_clearance(solid, cap, init=init_up), 0, 255)
-    c2 = jnp.clip(_slab_clearance(solid, 2, cap, init=init_c2), 0, 255)
-    # c8 is 7 bits: bit 31 carries the alpha-cutout flag below
-    c8 = jnp.clip(_slab_clearance(solid, 8, cap, init=init_c8), 0, 127)
+    up = jnp.clip(_up_clearance(solid, cap, init=init_up), 0, 63)
+    c2 = jnp.clip(_slab_clearance(solid, 2, cap, init=init_c2), 0, 63)
+    c8 = jnp.clip(_slab_clearance(solid, 8, cap, init=init_c8), 0, 63)
+    q = _skyline_descent(solid, init=init_q)
     # bit 31: this solid voxel's diffuse tile has zero-alpha texels (X-shaped
     # flora / leaf holes) — the tracer's in-march anyhit equivalent only runs
     # its texel gathers on iterations where some lane probes a flagged voxel
     from .materials import ALPHA_TESTED
 
     flag = solid & jnp.asarray(ALPHA_TESTED)[vol_i32]
-    word = (low | (up << I32(8)) | (c2 << I32(16)) | (c8 << I32(24))).astype(jnp.uint32)
+    word = (
+        low | (up << I32(8)) | (c2 << I32(14)) | (c8 << I32(20)) | (q << I32(26))
+    ).astype(jnp.uint32)
     word = word | (flag.astype(jnp.uint32) << jnp.uint32(31))
     return jax.lax.bitcast_convert_type(word, I32)
+
+
+def empty_field_word() -> int:
+    """Packed word for a voxel of an ALL-AIR scene volume (every clearance at its
+    cap) — what a fresh streaming window is filled with before chunks upload."""
+    return int(
+        (EMPTY_BASE - 1 + DIST_CAP)
+        | (DIST_CAP << 8)
+        | (DIST_CAP << 14)
+        | (DIST_CAP << 20)
+        | (31 << 26)
+    )
 
 
 @jax.jit
@@ -172,9 +232,10 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     # OUTSIDE the window stay accounted for at the window border (block removals
     # inside the updated region then only leave the bounds conservative)
     old_dist = jnp.maximum(window - I32(EMPTY_BASE - 1), I32(1))
-    old_up = (old >> I32(8)) & I32(0xFF)
-    old_c2 = (old >> I32(16)) & I32(0xFF)
-    old_c8 = (old >> I32(24)) & I32(0xFF)
+    old_up = (old >> I32(8)) & I32(0x3F)
+    old_c2 = (old >> I32(14)) & I32(0x3F)
+    old_c8 = (old >> I32(20)) & I32(0x3F)
+    old_q = (old >> I32(26)) & I32(0x1F)
     # overlay new blocks (empty marked as EMPTY_BASE pending distance resweep)
     new_vals = vol_u8_region.astype(I32)
     new_solid = jnp.asarray(RENDER_SOLID)[new_vals]
@@ -187,9 +248,16 @@ def _update_chunk_field(field, vol_u8_region, z0, x0):
     old_up = jax.lax.dynamic_update_slice(old_up, cap_reg, (z0 - zlo, x0 - xlo, 0))
     old_c2 = jax.lax.dynamic_update_slice(old_c2, cap_reg, (z0 - zlo, x0 - xlo, 0))
     old_c8 = jax.lax.dynamic_update_slice(old_c8, cap_reg, (z0 - zlo, x0 - xlo, 0))
+    # the skyline recompute is only trusted where its full SKY_R-neighborhood lies
+    # inside the window: seed voxels within SKY_R of the window border — all of
+    # them ≥ DIST_CAP−SKY_R blocks from any changed column — with their old q
+    old_q = jax.lax.dynamic_update_slice(
+        old_q, jnp.full((dz, dx, Y_SIZE), 31, I32), (z0 - zlo, x0 - xlo, 0)
+    )
     solid = (window > 0) & (window < EMPTY_BASE)
     window = _encode(
-        window, solid, init_dist=old_dist, init_up=old_up, init_c2=old_c2, init_c8=old_c8
+        window, solid, init_dist=old_dist, init_up=old_up, init_c2=old_c2,
+        init_c8=old_c8, init_q=old_q,
     )
     return jax.lax.dynamic_update_slice(field, window, (zlo, xlo, 0))
 

@@ -78,6 +78,23 @@ def atrous_denoise(
     return jnp.moveaxis(c, 0, -1)
 
 
+def psnr(img, ref, peak: float | None = None) -> float:
+    """PSNR (dB) of ``img`` against ``ref`` after ACES tonemapping to display
+    space — convergence quality is a perceptual claim (the reference's "<1 s to
+    a clean image", README.md:320), so it is measured on the presented image,
+    not raw HDR radiance where the sun dominates the error budget."""
+    import numpy as np
+
+    from .tonemap import present
+
+    a = np.asarray(present(img), np.float32) / 255.0
+    b = np.asarray(present(ref), np.float32) / 255.0
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10((peak or 1.0) ** 2 / mse))
+
+
 @jax.jit
 def upscale2x(img):
     """Bilinear 2× upscale — the reference's USE_UPSCALING present path

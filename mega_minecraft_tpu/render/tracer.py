@@ -34,7 +34,7 @@ import numpy as np
 from ..ops import hashes
 from ..world.blocks import Block, X_SHAPED_HI, X_SHAPED_LO
 from . import sky as sky_mod
-from .brickmap import EMPTY_BASE, Scene
+from .brickmap import EMPTY_BASE, SKY_R, Scene
 from .materials import (
     BLOCK_PROPS,
     MAT_IOR,
@@ -149,11 +149,12 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
 
         packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (i32) gather
         val = packed & I32(0xFF)
-        # direction-matched clearances (brickmap.py encoding): byte 1 = at-or-above
-        # for non-descending rays; bytes 2/3 = slab-2/slab-8 for descending rays
-        up_b = ((packed >> I32(8)) & I32(0xFF)).astype(F32)
-        c2_b = ((packed >> I32(16)) & I32(0xFF)).astype(F32)
-        c8_b = ((packed >> I32(24)) & I32(0x7F)).astype(F32)  # bit 31 = alpha flag
+        # direction-matched clearances (brickmap.py encoding): at-or-above for
+        # non-descending rays; slab-2/slab-8 + skyline descent for descending rays
+        up_b = ((packed >> I32(8)) & I32(0x3F)).astype(F32)
+        c2_b = ((packed >> I32(14)) & I32(0x3F)).astype(F32)
+        c8_b = ((packed >> I32(20)) & I32(0x3F)).astype(F32)
+        sky_q = ((packed >> I32(26)) & I32(0x1F)).astype(F32)  # bit 31 = alpha flag
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
         is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
 
@@ -261,11 +262,17 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         #   3-D: t-advance s moves ≤ s·max|comp| in L∞, safe while < dist
         #   up (dy ≥ 0): horizontal move s·max(|dx|,|dz|) < dxz↑, rise unlimited
         #   slab-k (dy < 0): horizontal < c_k AND drop s·|dy| ≤ k
+        #   skyline (dy < 0): horizontal ≤ SKY_R AND drop ≤ 4·q − 1 (the voxel is
+        #     4q−1 above every solid top within SKY_R — steep aerial descents
+        #     reach terrain in a few steps instead of 8-block drops)
         skip3d = (val.astype(F32) - F32(EMPTY_BASE)) * inv_maxc  # <0 at solids
         s_up = (up_b - F32(1.0)) * inv_h
         s2 = jnp.minimum((c2_b - F32(1.0)) * inv_h, F32(2.0) * inv_dy_abs)
         s8 = jnp.minimum((c8_b - F32(1.0)) * inv_h, F32(8.0) * inv_dy_abs)
-        skip_dir = jnp.where(ascending, s_up, jnp.maximum(s2, s8))
+        s_sky = jnp.minimum(
+            F32(SKY_R) * inv_h, (F32(4.0) * sky_q - F32(1.0)) * inv_dy_abs
+        )
+        skip_dir = jnp.where(ascending, s_up, jnp.maximum(jnp.maximum(s2, s8), s_sky))
         skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_dir), F32(0.0))
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
@@ -968,7 +975,10 @@ def render_sample(
 
     ``tile_cols`` (static): additionally split each band into column tiles (must
     divide ``width``), isolating horizontal divergence too (sky left of a mountain
-    no longer waits on it).  Output is bit-identical for any tiling.  ``"auto"``
+    no longer waits on it).  Rays are keyed by GLOBAL pixel, so any tiling computes
+    the same paths; outputs agree bit-for-bit between runs of the same tiling and
+    to float tolerance (~1e-5, XLA reassociation across differently-shaped
+    programs) between tilings.  ``"auto"``
     picks ~320-wide tiles for wide frames (measured on the 9x9 scene: 1080p
     5.09 -> 2.55 s/frame, 540p 1.22 -> 0.74) and no column tiling below 960 px.
     """
@@ -991,6 +1001,14 @@ def render_sample(
 
     n_full = height // tile_rows
     rem = height - n_full * tile_rows
+    # a remainder is rendered as ONE MORE full-shaped tile overlapping the previous
+    # band (its first tile_rows−rem rows are recomputed and dropped): rays are keyed
+    # by global pixel so the overlap is bit-identical, and the program needs no
+    # second differently-shaped tile body (an extra multi-minute XLA compile)
+    row_offs = [r * tile_rows for r in range(n_full)]
+    if rem:
+        row_offs.append(height - tile_rows)
+    n_bands = len(row_offs)
 
     if tile_cols is not None and width % tile_cols == 0 and tile_cols < width:
         nc = width // tile_cols
@@ -1002,15 +1020,14 @@ def render_sample(
             )
 
         offs = np.array(
-            [(r * tile_rows, c * tile_cols) for r in range(n_full) for c in range(nc)],
-            np.int32,
+            [(r, c * tile_cols) for r in row_offs for c in range(nc)], np.int32
         )
-        c, a, n = jax.lax.map(tile, jnp.asarray(offs))  # [n_full*nc, tr, tc, 3]
+        c, a, n = jax.lax.map(tile, jnp.asarray(offs))  # [n_bands*nc, tr, tc, 3]
 
         def asm(x):
-            x = x.reshape(n_full, nc, tile_rows, tile_cols, 3)
+            x = x.reshape(n_bands, nc, tile_rows, tile_cols, 3)
             return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
-                n_full * tile_rows, width, 3
+                n_bands * tile_rows, width, 3
             )
 
         c, a, n = asm(c), asm(a), asm(n)
@@ -1020,18 +1037,17 @@ def render_sample(
                 scene, cam, params, tile_rows, width, frame_id, band_row0, full_height
             )
 
-        offsets = row0 + jnp.arange(n_full, dtype=I32) * tile_rows
-        c, a, n = jax.lax.map(band, offsets)  # [n_full, tile_rows, W, 3] each
-        c = c.reshape(n_full * tile_rows, width, 3)
-        a = a.reshape(n_full * tile_rows, width, 3)
-        n = n.reshape(n_full * tile_rows, width, 3)
-    if rem:
-        cr, ar, nr = _render_rows(
-            scene, cam, params, rem, width, frame_id, row0 + n_full * tile_rows, full_height
+        offsets = row0 + jnp.asarray(np.array(row_offs, np.int32))
+        c, a, n = jax.lax.map(band, offsets)  # [n_bands, tile_rows, W, 3] each
+        c = c.reshape(n_bands * tile_rows, width, 3)
+        a = a.reshape(n_bands * tile_rows, width, 3)
+        n = n.reshape(n_bands * tile_rows, width, 3)
+    if rem:  # drop the overlap rows recomputed by the final band
+        cut = n_full * tile_rows
+        keep = lambda x: jnp.concatenate(
+            [x[:cut], x[cut + (tile_rows - rem):]], axis=0
         )
-        c = jnp.concatenate([c, cr], axis=0)
-        a = jnp.concatenate([a, ar], axis=0)
-        n = jnp.concatenate([n, nr], axis=0)
+        c, a, n = keep(c), keep(a), keep(n)
     return c, a, n
 
 

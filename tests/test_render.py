@@ -64,6 +64,59 @@ class TestTrace:
                 bad += 1
         assert bad == 0
 
+    def test_aerial_descent_exact(self, box_scene):
+        """Steep descents ride the skyline-descent field (brickmap bits 26-30);
+        landings must still be exact: straight-down rays from far above terrain
+        hit the top solid of their column at the analytic t."""
+        vol, scene = box_scene
+        ys = np.arange(384)
+        for (x, z) in [(2, 2), (10, 17), (25, 5), (30, 30)]:
+            top = int(np.max(np.where(SOLID[vol[z, x]], ys, -1)))
+            res = tracer.trace(
+                scene,
+                jnp.asarray([x + 0.5]), jnp.asarray([380.0]), jnp.asarray([z + 0.5]),
+                jnp.asarray([0.0]), jnp.asarray([-1.0]), jnp.asarray([0.0]),
+                jnp.full((1,), jnp.uint8(0)),
+            )
+            assert bool(res.hit[0])
+            assert abs(float(res.t[0]) - (380.0 - (top + 1))) < 1e-2
+            assert float(res.ny[0]) == 1.0
+
+    def test_skyline_descent_field_values(self):
+        """The stored quantized descent q must satisfy q == clip(y − skyline, 0,
+        124)//4 with skyline = max solid top within horizontal L∞ SKY_R."""
+        from mega_minecraft_tpu.render.brickmap import SKY_R, _skyline_descent
+
+        rng = np.random.RandomState(3)
+        vol = rng.rand(24, 24, 64) < 0.02
+        q = np.asarray(_skyline_descent(jnp.asarray(vol)))
+        top = np.max(np.where(vol, np.arange(64)[None, None, :], -1), axis=2)
+        for _ in range(300):
+            z, x, y = rng.randint(24), rng.randint(24), rng.randint(64)
+            zlo, zhi = max(0, z - SKY_R), min(24, z + SKY_R + 1)
+            xlo, xhi = max(0, x - SKY_R), min(24, x + SKY_R + 1)
+            sky = int(top[zlo:zhi, xlo:xhi].max())
+            assert q[z, x, y] == min(max(y - sky, 0), 124) // 4
+
+    def test_tiling_remainder_matches_untiled(self, box_scene):
+        """A height that does not divide tile_rows renders its last rows via an
+        overlapping full-shaped band; rays are keyed by global pixel, so the
+        result must match the untiled render to fp tolerance (programs of
+        different shapes may reassociate; observed ≤2e-5)."""
+        _, scene = box_scene
+        player = camera.Player(pos=np.array([16.0, 150.0, -10.0], np.float32), phi=-0.4)
+        H, W = 38, 64  # 38 % 4 == 2 -> remainder path
+        cam = player.camera_params(W, H)
+        params = sky.sky_params(1.0, 0.0)
+        tiled = tracer.render_sample(scene, cam, params, H, W, jnp.int32(3),
+                                     tile_rows=4, tile_cols=None)
+        untiled = tracer.render_sample(scene, cam, params, H, W, jnp.int32(3),
+                                       tile_rows=None, tile_cols=None)
+        for t, u in zip(tiled, untiled):
+            t, u = np.asarray(t), np.asarray(u)
+            assert t.shape == (H, W, 3)
+            np.testing.assert_allclose(t, u, atol=1e-3, rtol=1e-3)
+
     def test_water_interface(self):
         vol = np.zeros((16, 16, 384), np.uint8)
         vol[:, :, :100] = int(Block.STONE)
@@ -143,6 +196,22 @@ class TestPost:
         normal = jnp.zeros_like(albedo).at[..., 1].set(1.0)
         out = np.asarray(denoise.atrous_denoise(jnp.asarray(noisy), albedo, normal))
         assert np.abs(out - base).std() < np.abs(noisy - base).std() * 0.5
+
+    def test_denoise_psnr_floor(self):
+        """Quality floor: on a noisy piecewise-flat scene with clean guides the
+        à-trous filter must recover ≥ +6 dB PSNR over the noisy input."""
+        rng = np.random.RandomState(1)
+        base = np.zeros((64, 64, 3), np.float32) + 0.2
+        base[:, 32:] = 0.7
+        base[20:40, 10:30] = [0.8, 0.3, 0.2]
+        albedo = jnp.asarray(base)
+        normal = jnp.zeros_like(albedo).at[..., 1].set(1.0)
+        noisy = base + rng.normal(0, 0.15, base.shape).astype(np.float32)
+        out = denoise.atrous_denoise(jnp.asarray(noisy), albedo, normal)
+        p_in = denoise.psnr(jnp.asarray(noisy), jnp.asarray(base))
+        p_out = denoise.psnr(out, jnp.asarray(base))
+        assert p_out > p_in + 6.0, (p_in, p_out)
+        assert p_out > 28.0, p_out
 
     def test_denoise_preserves_edges(self):
         base = np.zeros((32, 32, 3), np.float32)
