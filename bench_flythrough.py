@@ -1,9 +1,12 @@
 """BASELINE.md benchmark config (5): interactive fly-through with action-time chunk
 streaming + postprocess.  Prints one JSON line (not the driver headline; see bench.py).
 
-Mirrors the reference's real workload: the player flies forward while the scheduler
-streams generation under the action-time budget and every frame is path-traced,
-denoised and tonemapped (reference main loop, /root/reference/src/main.cpp:661-717).
+Mirrors the reference's real workload shape (terrain.cpp:65-67,1036-1041): generation
+spiral to radius 40, drawable window 33×33 (≈1089 chunks), zone erosion streaming ON,
+and — like the reference's USE_UPSCALING mode (defines.hpp:12, README.md:326-328) —
+rendering at 960×540 and denoise-upscaling to 1080p.  The player flies forward while
+the scheduler streams generation under the action-time budget and every frame is
+path-traced, denoised and tonemapped (reference main loop, main.cpp:661-717).
 """
 
 import json
@@ -13,23 +16,25 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
+def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
+    """Run the fly-through benchmark; returns the stats dict (JSON-safe)."""
     from mega_minecraft_tpu.app.engine import Engine, EngineConfig
 
-    cfg = EngineConfig(
-        width=960,
-        height=540,
-        view_chunks=17,
-        gen_radius=11,
-        skip_erosion=True,  # zone grids need radius >= 24; clipped radius for bench
-        use_denoising=True,
-        use_upscaling=False,
-    )
+    if reference_scale:
+        cfg = EngineConfig(
+            width=1920,
+            height=1080,
+            view_chunks=33,  # chunkVbosGenRadius 16 -> 33x33 drawable
+            gen_radius=None,  # reference CHUNK_MAX_GEN_RADIUS 40
+            skip_erosion=False,
+            use_denoising=True,
+            use_upscaling=True,  # render 960x540, 2x denoise-upscale (USE_UPSCALING)
+        )
+    else:  # clipped round-1 config, kept for A/B history
+        cfg = EngineConfig(
+            width=960, height=540, view_chunks=17, gen_radius=11,
+            skip_erosion=True, use_denoising=True, use_upscaling=False,
+        )
 
     # prewarm: a tiny throwaway engine compiles every stage program + scene update
     # (stage batches are padded to a fixed size, so the shapes are identical and the
@@ -50,26 +55,36 @@ def main():
     eng.tick(1.0 / 30.0)
     _ = eng.present()
 
-    n_frames = 30
     t0 = time.time()
     for i in range(n_frames):
         eng.tick(1.0 / 30.0, move=(0.0, 0.0, 2.0))
-    img = eng.present()  # denoise + tonemap + host transfer
+    img = eng.present()  # denoise + tonemap (+2x upscale) + host transfer
     dt = (time.time() - t0) / n_frames
+    assert img.shape[0] == cfg.height and np.isfinite(dt)
 
-    print(
-        json.dumps(
-            {
-                "metric": "fly-through ms/frame (540p, streaming + denoise)",
-                "value": round(dt * 1e3, 1),
-                "unit": "ms/frame",
-                "initial_drain_s": round(gen_s, 1),
-                "drain_frames": drain_frames,
-                "drawable_chunks": drawable,
-                "scheduler": type(eng.scheduler).__name__,
-            }
-        )
-    )
+    return {
+        "metric": "fly-through ms/frame (streaming + denoise"
+        + (" + 2x upscale to 1080p" if cfg.use_upscaling else "")
+        + ")",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/frame",
+        "initial_drain_s": round(gen_s, 1),
+        "drain_frames": drain_frames,
+        "drawable_chunks": drawable,
+        "erosion_streaming": not cfg.skip_erosion and (cfg.gen_radius or 40) >= 18,
+        "render_res": [eng.render_w, eng.render_h],
+        "present_res": [cfg.width, cfg.height],
+        "scheduler": type(eng.scheduler).__name__,
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    print(json.dumps(run(reference_scale="--clipped" not in sys.argv)))
     return 0
 
 

@@ -24,6 +24,19 @@ from ..terrain.scheduler import ChunkState, TerrainScheduler, make_scheduler
 from ..utils import profiling
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _assemble_region(d_blocks, slots, mask, gz: int, gx: int):
+    """Gather a [gz*16, gx*16, 384] block region from slot-table chunks; masked-off
+    cells (not DRAWABLE) become air.  Device-side — blocks never touch the host."""
+    ch = jnp.take(d_blocks, slots, axis=0)  # [gz*gx, 16, 16, 384] ([z, x, y])
+    ch = jnp.where(mask[:, None, None, None], ch, jnp.uint8(0))
+    ch = ch.reshape(gz, gx, 16, 16, 384).transpose(0, 2, 1, 3, 4)
+    return ch.reshape(gz * 16, gx * 16, 384)
+
+
 @dataclass
 class EngineConfig:
     width: int = 640
@@ -63,13 +76,8 @@ class Engine:
         half = n // 2
         self.window_origin = (-half, -half)  # chunk coords of scene corner
         side = n * 16
-        empty_val = (
-            (brickmap.EMPTY_BASE - 1 + brickmap.DIST_CAP)
-            | (brickmap.DIST_CAP << 8)
-            | (brickmap.DIST_CAP << 16)
-        )
         self.scene = brickmap.Scene(
-            field=jnp.full((side, side, 384), empty_val, jnp.int32),
+            field=jnp.full((side, side, 384), brickmap.empty_field_word(), jnp.int32),
             origin=jnp.asarray(
                 np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
             ),
@@ -77,6 +85,9 @@ class Engine:
         self.time = 0.0
         self.sun_time = self.cfg.sun_time0
         self.time_paused = False
+        # freecam: camera detaches from the streaming window (main.cpp:181,701 —
+        # `if (!freeCam) terrain->setCurrentChunkPos(...)`)
+        self.freecam = False
         self.fps = profiling.FpsCounter()
         self.frame_id = 0
         # internal render resolution (half when upscaling, optixRenderer.cpp:462-466)
@@ -94,26 +105,51 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    #: chunks per side per batched field update.  The distance resweep window pads
+    #: the region by DIST_CAP=63 blocks on each side, so updating one chunk sweeps
+    #: 142² columns while a 3×3 bucket sweeps 174² — nine chunks for ~1.5× the cost
+    #: of one (measured on v5e: the per-chunk path dominated flythrough scene
+    #: updates at ~188 ms/frame during streaming bursts).
+    UPLOAD_BUCKET = 3
+
+    def _refresh_buckets(self, positions) -> bool:
+        """Re-sync bucket-aligned scene regions covering ``positions`` from the
+        scheduler's slot table: DRAWABLE chunks contribute their blocks, everything
+        else is air.  One ``update_chunks`` resweep per bucket — the batched
+        buildChunkAccel/destroyChunk analogue."""
+        pos = [p for p in positions if self._in_window(p)]
+        if not pos:
+            return False
+        sched = self.scheduler
+        G = self.UPLOAD_BUCKET
+        n = self.cfg.view_chunks
+        ox, oz = self.window_origin
+        drawable = int(ChunkState.DRAWABLE)
+        buckets = sorted({((p[1] - oz) // G, (p[0] - ox) // G) for p in pos})
+        for bz, bx in buckets:
+            z_lo, x_lo = bz * G, bx * G
+            gz, gx = min(G, n - z_lo), min(G, n - x_lo)
+            slots = np.zeros((gz * gx,), np.int32)
+            mask = np.zeros((gz * gx,), bool)
+            for dz in range(gz):
+                for dx in range(gx):
+                    p = (ox + x_lo + dx, oz + z_lo + dz)
+                    s = sched.slot_for(p)
+                    if s >= 0 and sched.state_at(p) == drawable:
+                        slots[dz * gx + dx] = s
+                        mask[dz * gx + dx] = True
+            region = _assemble_region(
+                sched.t.d_blocks, jnp.asarray(slots), jnp.asarray(mask), gz, gx
+            )
+            self.scene = brickmap.update_chunks(self.scene, region, z_lo * 16, x_lo * 16)
+        return True
+
     def _upload_new_chunks(self):
         """Move newly DRAWABLE chunks into the scene volume (the accel-build analogue)."""
         sched = self.scheduler
-        new = [
-            p
-            for p in sched.newly_filled
-            if self._in_window(p)
-        ]
+        new = list(sched.newly_filled)
         sched.newly_filled.clear()
-        if not new:
-            return False
-        # batch spatially: update per chunk (regions merged by the DT resweep window)
-        t = sched.t
-        for p in new:
-            slot = sched.slot_for(p)
-            blocks = t.d_blocks[slot]  # [16, 16, 384] u8 ([z, x, y])
-            z0 = (p[1] - self.window_origin[1]) * 16
-            x0 = (p[0] - self.window_origin[0]) * 16
-            self.scene = brickmap.update_chunks(self.scene, blocks, z0, x0)
-        return True
+        return self._refresh_buckets(new)
 
     def _in_window(self, p):
         ox, oz = self.window_origin
@@ -124,18 +160,12 @@ class Engine:
 
     def _remove_far_chunks(self) -> bool:
         """Clear destroyed-VBO chunks out of the scene volume (the destroyChunk
-        analogue: reference terrain.cpp:593-606 → optixRenderer.cpp destroyChunk)."""
+        analogue: reference terrain.cpp:593-606 → optixRenderer.cpp destroyChunk).
+        Destroyed chunks are no longer DRAWABLE, so the bucket refresh writes air."""
         sched = self.scheduler
-        gone = [p for p in sched.vbos_destroyed if self._in_window(p)]
+        gone = list(sched.vbos_destroyed)
         sched.vbos_destroyed.clear()
-        if not gone:
-            return False
-        air = jnp.zeros((16, 16, 384), jnp.uint8)
-        for p in gone:
-            z0 = (p[1] - self.window_origin[1]) * 16
-            x0 = (p[0] - self.window_origin[0]) * 16
-            self.scene = brickmap.update_chunks(self.scene, air, z0, x0)
-        return True
+        return self._refresh_buckets(gone)
 
     def tick(self, dt: float, move=(0.0, 0.0, 0.0), rotate=(0.0, 0.0)):
         """One frame: input → streaming → scene upload → render+accumulate."""
@@ -145,7 +175,10 @@ class Engine:
         if any(rotate):
             self.player.rotate(*rotate)
 
-        self.scheduler.set_player_pos(float(self.player.pos[0]), float(self.player.pos[2]))
+        if not self.freecam:
+            self.scheduler.set_player_pos(
+                float(self.player.pos[0]), float(self.player.pos[2])
+            )
         self.scheduler.destroy_far_vbos()
         self.scheduler.tick(dt)
         scene_changed = self._remove_far_chunks()
