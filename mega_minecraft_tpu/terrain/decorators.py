@@ -93,20 +93,29 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
     biome = random_biome(w_last, r_biome)  # [256]
 
     # ---- phase 2: vectorized application ----
-    lx = jnp.arange(16, dtype=I32)
-    col_z = jnp.repeat(lx, 16)  # column-major: z outer, x inner
-    col_x = jnp.tile(lx, 16)
+    # Per-column reads/writes run as ONE-HOT selects over the y axis of a
+    # [256, 384] view (384 minor = 3×128 full VPU lanes): a read is a masked max,
+    # a write a masked select — each a single fused elementwise pass.  The naive
+    # formulation (advanced-index gathers + ``.at[].set`` scatters, 163 sequential
+    # try_place calls) spent ~286 ms per 25-chunk batch in XLA:TPU scatters; the
+    # select form is pure HBM-bandwidth (~5 passes × 2.4 MB per call).
+    blocks = blocks.reshape(256, 384)  # row c = column (z = c//16, x = c%16)
+    yidx = jnp.arange(384, dtype=I32)[None, :]
 
     ground_y = heightfield.reshape(256).astype(I32) + I32(1)
     non_solid = I32(NUM_NON_SOLID_BLOCKS)
 
-    def read(blocks, y):
-        return blocks[col_z, col_x, jnp.clip(y, 0, 383)]
+    def hot_of(y):
+        return yidx == jnp.clip(y, 0, 383)[:, None]  # [256, 384]
+
+    def read(blocks, hot):
+        return jnp.max(jnp.where(hot, blocks, U8(0)), axis=-1)
 
     def try_place(blocks, active, y, gen):
         (dec_block, _ch, under, replace, second, ceiling) = gen
         y = jnp.asarray(y, I32)
-        cur = read(blocks, y)
+        hot_y = hot_of(y)
+        cur = read(blocks, hot_y)
         ok = active & (y >= 0) & (y <= 383)
         # possibleReplaceBlocks check (empty set never occurs in the tables)
         rep_ok = jnp.zeros_like(ok)
@@ -116,7 +125,7 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
         u_off = 1 if ceiling else -1
         uy = y + u_off
         ok = ok & (uy >= 0) & (uy <= 383)
-        ub = read(blocks, uy)
+        ub = read(blocks, hot_of(uy))
         ok = ok & (ub.astype(I32) >= non_solid)
         if under:
             u_ok = jnp.zeros_like(ok)
@@ -126,17 +135,14 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
         if second != int(Block.AIR):
             oy = y - u_off
             ok = ok & (oy >= 0) & (oy <= 383)
-            ob = read(blocks, oy)
+            hot_o = hot_of(oy)
+            ob = read(blocks, hot_o)
             o_ok = jnp.zeros_like(ok)
             for rb in replace:
                 o_ok = o_ok | (ob == U8(rb))
             ok = ok & o_ok
-            blocks = blocks.at[col_z, col_x, jnp.clip(oy, 0, 383)].set(
-                jnp.where(ok, U8(second), ob)
-            )
-        blocks = blocks.at[col_z, col_x, jnp.clip(y, 0, 383)].set(
-            jnp.where(ok, U8(dec_block), cur)
-        )
+            blocks = jnp.where(hot_o & ok[:, None], U8(second), blocks)
+        blocks = jnp.where(hot_y & ok[:, None], U8(dec_block), blocks)
         return blocks
 
     # surface decorators: first gen whose cumulative chance crosses the draw
@@ -181,7 +187,7 @@ def place_decorators(blocks, heightfield, biome_weights, cave_starts, cave_ends,
                     choose = is_b & (r_bottom[:, li] < run_b)
                     blocks = try_place(blocks, choose, floor_y, gen)
 
-    return blocks
+    return blocks.reshape(16, 16, 384)
 
 
 @jax.jit
