@@ -139,7 +139,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     inv_maxc = F32(1.0) / jnp.maximum(h_inf, jnp.abs(dy))
 
     def body(state):
-        t, alive, hit, hit_block, hit_x, x_use_a, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, step = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
@@ -186,63 +186,27 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_b = ((F32(1.0) + cx0 + cz0) - (ox + oz)) / jnp.where(jnp.abs(den_b) < F32(1e-6), F32(1.0), den_b)
         ok_a = (jnp.abs(den_a) >= F32(1e-6)) & (t_a >= t) & (t_a <= t_exit)
         ok_b = (jnp.abs(den_b) >= F32(1e-6)) & (t_b >= t) & (t_b <= t_exit)
+
         # ---- alpha cutout (the anyhit equivalent, basic_shaders.cu:1022-1052):
         # field bit 31 marks solids whose diffuse tile has zero-alpha texels
         # (X flora + leaf holes with the real atlas; never set for the solid
-        # procedural fallback).  The texel gathers run only on iterations where
-        # some lane actually probes a flagged voxel (tile-scalar lax.cond).
-        alpha_lane = candidate & (packed < I32(0))
+        # procedural fallback).  The march does NO texel work for them — it
+        # PARKS the lane on the voxel (pending=True, t unmoved) and the resolve
+        # phase between marches does the texel gathers once per parked voxel,
+        # reviving lanes whose texel was transparent.  This keeps the march at
+        # its one-gather-per-step floor on every scene.  (Two rejected designs,
+        # both measured: a tile-scalar lax.cond around in-march texel gathers
+        # made XLA:TPU re-materialize the captured 3.4 MB atlas inside the loop
+        # — a ~25× frame-time regression even with zero flagged voxels; and
+        # unconditional masked-index gathers tripled the march's gather count.)
+        pend_new = candidate & (packed < I32(0))
 
-        def _texel_alpha(u, v, face_base):
-            # variant 0: alpha-holed blocks never enable random rotation/flip
-            tu = jnp.floor(jnp.clip(u - jnp.floor(u), 0.0, 0.999) * F32(16.0)).astype(I32)
-            tv = jnp.floor(jnp.clip(v - jnp.floor(v), 0.0, 0.999) * F32(16.0)).astype(I32)
-            idx = val * I32(3 * 8 * 256) + face_base + tv * 16 + tu
-            texel = _tex_diff_tab[idx]
-            return ((texel >> jnp.uint32(24)) & jnp.uint32(1)) > 0
+        # unflagged X flora (procedural-atlas fallback): pure geometric quads
+        t_q = jnp.where(ok_a & (~ok_b | (t_a <= t_b)), t_a, t_b)
+        quad_ok = ok_a | ok_b
+        use_a = ok_a & (~ok_b | (t_a <= t_b))
 
-        def _with_alpha():
-            # X quads: test each plane's texel at its own uv (side tile; u runs
-            # along the quad diagonal = frac x, v down from the block top)
-            def quad(t_hit):
-                hx = ox + dx * t_hit
-                hy = oy + dy * t_hit
-                return _texel_alpha(hx, F32(1.0) - (hy - jnp.floor(hy)), I32(0))
-
-            qa = ok_a & quad(t_a)
-            qb = ok_b & quad(t_b)
-            # full blocks (leaves): test the entry-face texel
-            exf = (vx.astype(F32) + (dx < 0) + orig[0] - ox) * idx_
-            eyf = (vy.astype(F32) + (dy < 0) + orig[1] - oy) * idy_
-            ezf = (vz.astype(F32) + (dz < 0) + orig[2] - oz) * idz_
-            t_en = jnp.maximum(jnp.maximum(exf, eyf), ezf)
-            on_yf = (eyf >= t_en) & (exf < t_en)
-            on_xf = exf >= t_en
-            face_b = jnp.where(
-                on_yf, jnp.where(dy < 0, I32(1 * 8 * 256), I32(2 * 8 * 256)), I32(0)
-            )
-            hx = ox + dx * t_en
-            hy = oy + dy * t_en
-            hz = oz + dz * t_en
-            fu = jnp.where(on_yf, hx, jnp.where(on_xf, hz, hx))
-            fv = jnp.where(on_yf, hz, F32(1.0) - (hy - jnp.floor(hy)))
-            fa = _texel_alpha(fu, fv, face_b)
-            return qa, qb, fa
-
-        def _no_alpha():
-            ones = ok_a | True  # derived, not a literal: keeps vma matching _with_alpha
-            return ok_a, ok_b, ones
-
-        qa2, qb2, face_ok2 = jax.lax.cond(jnp.any(alpha_lane), _with_alpha, _no_alpha)
-        ok_a2 = jnp.where(alpha_lane, qa2, ok_a)
-        ok_b2 = jnp.where(alpha_lane, qb2, ok_b)
-        face_ok = jnp.where(alpha_lane & ~is_x, face_ok2, True)
-
-        t_q = jnp.where(ok_a2 & (~ok_b2 | (t_a <= t_b)), t_a, t_b)
-        quad_ok = ok_a2 | ok_b2
-        use_a = ok_a2 & (~ok_b2 | (t_a <= t_b))
-
-        new_hit = candidate & jnp.where(is_x, quad_ok, face_ok)
+        new_hit = candidate & ~pend_new & jnp.where(is_x, quad_ok, True)
         new_x = new_hit & is_x
         hit_block = jnp.where(
             new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
@@ -252,7 +216,8 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         x_use_a = jnp.where(new_x, use_a, x_use_a)
         # X hits stop ON the quad: park t there so the shading point is exact
         t = jnp.where(new_x, t_q, t)
-        alive = alive & ~new_hit
+        pending = pending | pend_new
+        alive = alive & ~new_hit & ~pend_new
 
         # advance: at least to the current 1³ cell exit; in air additionally take
         # the largest safe skip.  Every skip keeps the ray inside voxels PROVEN
@@ -278,12 +243,109 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)
         alive = alive & (t < t_out)
-        return t, alive, hit, hit_block, hit_x, x_use_a, step + 1
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, step + 1
 
     def cond(state):
         alive = state[1]
         step = state[-1]
         return jnp.any(alive) & (step < max_steps)
+
+    def resolve(state):
+        """Alpha-test every parked lane (field bit 31) and either confirm the hit
+        or revive the march past the voxel.  Runs BETWEEN marches, so its three
+        gathers (field word + two texels) cost once per parked voxel, not per
+        DDA step."""
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, step = state
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        vx = jnp.clip(jnp.floor(px - orig[0]).astype(I32), 0, xdim - 1)
+        vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
+        vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
+        widx = jnp.where(pending, (vz * xdim + vx) * ydim + vy, I32(0))
+        packed = flat_field[widx]
+        val = packed & I32(0xFF)
+        is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
+
+        # cell exit (same formulas as the march)
+        bx = jnp.where(dx > 0, vx.astype(F32) + orig[0] + 1, vx.astype(F32) + orig[0])
+        by = jnp.where(dy > 0, vy.astype(F32) + orig[1] + 1, vy.astype(F32) + orig[1])
+        bz = jnp.where(dz > 0, vz.astype(F32) + orig[2] + 1, vz.astype(F32) + orig[2])
+        big = F32(3e38)
+        tex = jnp.where(jnp.abs(dx) < F32(1e-12), big, (bx - ox) * idx_)
+        tey = jnp.where(jnp.abs(dy) < F32(1e-12), big, (by - oy) * idy_)
+        tez = jnp.where(jnp.abs(dz) < F32(1e-12), big, (bz - oz) * idz_)
+        t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
+
+        # crossed-quad geometry (X flora)
+        cx0 = vx.astype(F32) + orig[0]
+        cz0 = vz.astype(F32) + orig[2]
+        den_a = dx - dz
+        den_b = dx + dz
+        t_a = ((cx0 - cz0) + (oz - ox)) / jnp.where(jnp.abs(den_a) < F32(1e-6), F32(1.0), den_a)
+        t_b = ((F32(1.0) + cx0 + cz0) - (ox + oz)) / jnp.where(jnp.abs(den_b) < F32(1e-6), F32(1.0), den_b)
+        ok_a = (jnp.abs(den_a) >= F32(1e-6)) & (t_a >= t) & (t_a <= t_exit)
+        ok_b = (jnp.abs(den_b) >= F32(1e-6)) & (t_b >= t) & (t_b <= t_exit)
+
+        def _texel_alpha(u, v, face_base, on):
+            # variant 0: alpha-holed blocks never enable random rotation/flip
+            tu = jnp.floor(jnp.clip(u - jnp.floor(u), 0.0, 0.999) * F32(16.0)).astype(I32)
+            tv = jnp.floor(jnp.clip(v - jnp.floor(v), 0.0, 0.999) * F32(16.0)).astype(I32)
+            idx = jnp.where(on, val * I32(3 * 8 * 256) + face_base + tv * 16 + tu, I32(0))
+            texel = _tex_diff_tab[idx]
+            return ((texel >> jnp.uint32(24)) & jnp.uint32(1)) > 0
+
+        # X quads: uv on the side tile; u runs along the quad diagonal = frac x,
+        # v down from the block top
+        qa_u = ox + dx * t_a
+        qa_v = F32(1.0) - ((oy + dy * t_a) - jnp.floor(oy + dy * t_a))
+        qb_u = ox + dx * t_b
+        qb_v = F32(1.0) - ((oy + dy * t_b) - jnp.floor(oy + dy * t_b))
+        # full blocks (leaves): the entry-face texel
+        exf = (vx.astype(F32) + (dx < 0) + orig[0] - ox) * idx_
+        eyf = (vy.astype(F32) + (dy < 0) + orig[1] - oy) * idy_
+        ezf = (vz.astype(F32) + (dz < 0) + orig[2] - oz) * idz_
+        t_en = jnp.maximum(jnp.maximum(exf, eyf), ezf)
+        on_yf = (eyf >= t_en) & (exf < t_en)
+        on_xf = exf >= t_en
+        face_b = jnp.where(
+            on_yf, jnp.where(dy < 0, I32(1 * 8 * 256), I32(2 * 8 * 256)), I32(0)
+        )
+        hxf = ox + dx * t_en
+        hyf = oy + dy * t_en
+        hzf = oz + dz * t_en
+        fu = jnp.where(on_yf, hxf, jnp.where(on_xf, hzf, hxf))
+        fv = jnp.where(on_yf, hzf, F32(1.0) - (hyf - jnp.floor(hyf)))
+
+        u1 = jnp.where(is_x, qa_u, fu)
+        v1 = jnp.where(is_x, qa_v, fv)
+        fb1 = jnp.where(is_x, I32(0), face_b)
+        a1 = _texel_alpha(u1, v1, fb1, pending)
+        a2 = _texel_alpha(qb_u, qb_v, I32(0), pending & is_x)
+
+        ok_a &= a1
+        ok_b &= a2
+        t_q = jnp.where(ok_a & (~ok_b | (t_a <= t_b)), t_a, t_b)
+        use_a = ok_a & (~ok_b | (t_a <= t_b))
+        res_hit = pending & jnp.where(is_x, ok_a | ok_b, a1)
+
+        hit = hit | res_hit
+        hit_x = hit_x | (res_hit & is_x)
+        x_use_a = jnp.where(res_hit & is_x, use_a, x_use_a)
+        hit_block = jnp.where(res_hit, val.astype(U8), hit_block)
+        t = jnp.where(res_hit & is_x, t_q, t)
+
+        # transparent texel: revive past the voxel (the march's exact-exit step)
+        revived = pending & ~res_hit
+        t_next = jnp.maximum(t, t_exit) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
+        t = jnp.where(revived, t_next, t)
+        alive = alive | (revived & (t < t_out))
+        pending = pending & False
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, step
+
+    def outer_body(state):
+        state = jax.lax.while_loop(cond, body, state)
+        return resolve(state)
 
     t0 = jnp.where(alive0, t_start, F32(1e20))
     # init carries derive from alive0 so their shard_map varying-axes match the
@@ -296,9 +358,17 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         false0.astype(U8),
         false0,
         false0,
+        false0,
         jnp.zeros((), I32),
     )
-    t, _, hit, hit_block, hit_x, x_use_a, _ = jax.lax.while_loop(cond, body, init)
+    # nested march/resolve: the inner while_loop marches until every lane hit,
+    # died, or parked on an alpha-flagged voxel; resolve() then alpha-tests the
+    # parked lanes in one go and revives the transparent ones, and the outer
+    # loop re-enters the march for the survivors.  On scenes with no flagged
+    # voxels the outer loop runs exactly once.
+    t, _, hit, hit_block, hit_x, x_use_a, _, _ = jax.lax.while_loop(
+        cond, outer_body, init
+    )
 
     # hit voxel + entry-face normal
     px = ox + dx * t
@@ -464,15 +534,29 @@ def _wave_normal(px, py, pz, nx, ny, nz, time):
     return nx2 * inv, ny * inv, nz2 * inv
 
 
+#: clamp stored first-hit distances so temporal-reprojection math stays finite in
+#: f32 (sky pixels park at the cap; relative depth tests still classify them)
+DEPTH_CAP = 1e6
+
+
 class FrameBuffers(NamedTuple):
     color: jnp.ndarray  # [H, W, 3] running average
     albedo: jnp.ndarray
     normal: jnp.ndarray
+    #: temporal-history extras (None on the legacy frame-id-weighted path):
+    depth: jnp.ndarray | None = None  # [H, W] first-hit camera distance
+    nsamp: jnp.ndarray | None = None  # [H, W] per-pixel history length
 
 
-def init_framebuffers(height: int, width: int) -> FrameBuffers:
+def init_framebuffers(height: int, width: int, temporal: bool = False) -> FrameBuffers:
     z = jnp.zeros((height, width, 3), F32)
-    return FrameBuffers(color=z, albedo=z, normal=z)
+    if not temporal:
+        return FrameBuffers(color=z, albedo=z, normal=z)
+    return FrameBuffers(
+        color=z, albedo=z, normal=z,
+        depth=jnp.full((height, width), F32(DEPTH_CAP)),
+        nsamp=jnp.zeros((height, width), F32),
+    )
 
 
 def _rng(seed):
@@ -490,11 +574,14 @@ def _render_rows(
     full_height: int,
     col0=0,
     full_width: int | None = None,
+    want_depth: bool = False,
 ):
     """One 1-spp path-traced sample of a ``height``x``width`` tile whose top-left
     global pixel is (``row0``, ``col0``) of the full frame.
 
-    Returns (color, albedo, normal) [height, width, 3] f32 (NOT accumulated).
+    Returns (color, albedo, normal) [height, width, 3] f32 (NOT accumulated);
+    with ``want_depth`` additionally the primary-hit camera distance [height,
+    width] (DEPTH_CAP where the primary ray escaped) for temporal reprojection.
     All per-pixel state (seeds, rays) is keyed by GLOBAL pixel coordinates, so the
     image is bit-identical for any tiling.
     """
@@ -577,6 +664,11 @@ def _render_rows(
             scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
             max_steps=MAX_TRACE_STEPS if first else BOUNCE_TRACE_STEPS,
         )
+        if first and want_depth:
+            # primary-hit camera distance (res.t is 1e20 on miss), for temporal
+            # reprojection; captured outside the while_loop so no carry is added
+            # (the non-depth program's HLO — and compile cache — is unchanged)
+            _first_depth.append(jnp.minimum(res.t, F32(DEPTH_CAP)))
         hit = res.hit & active
         miss = ~res.hit & active
 
@@ -782,20 +874,19 @@ def _render_rows(
 
         # ---- emissive (per texel, basic_shaders.cu:974-993): a black diffuse
         # texel with emissive w > 0 emits emissive rgb × (first ? 1.5 : w×100).
-        # The emissive-rgb gather only runs when a lane in this tile needs it.
         _ = emis_w  # block-level emission superseded by the per-texel channel
         emissive = (
             h_shade & ~spec & ~exit_to_air
             & ((texel & jnp.uint32(0xFFFFFF)) == 0) & (emis_w_tex > F32(0.0))
         )
 
-        def _emis_rgb():
-            et = tex_emis_tab[((eff_blk * 3 + face) * 8 + variant) * 256 + tv * 16 + tu]
-            return unpack_texel(et)
-
-        e_r, e_g, e_b = jax.lax.cond(
-            jnp.any(emissive), _emis_rgb, lambda: (zeros, zeros, zeros)
+        # unconditional emissive-rgb gather with index zeroed on non-emissive
+        # lanes (a lax.cond here re-materializes the captured 3.4 MB emissive
+        # table per bounce iteration — same pathology as the in-march alpha cond)
+        e_idx = jnp.where(
+            emissive, ((eff_blk * 3 + face) * 8 + variant) * 256 + tv * 16 + tu, I32(0)
         )
+        e_r, e_g, e_b = unpack_texel(tex_emis_tab[e_idx])
         if first:
             e_strength = jnp.where(needs_first, F32(1.5), emis_w_tex * F32(100.0))
         else:
@@ -924,6 +1015,7 @@ def _render_rows(
 
     # iteration 0 (first-hit logic: clouds, stars, AOVs, scatter events) runs outside
     # the loop; the loop body compiles lean
+    _first_depth: list = []
     state = body(state, first=True)
     out = jax.lax.while_loop(cond, lambda s: body(s, first=False), state)
 
@@ -937,6 +1029,8 @@ def _render_rows(
     color = jnp.stack([pr, pg, pb], axis=-1)
     albedo = jnp.stack(out["albedo"], axis=-1)
     normal = jnp.stack(out["normal"], axis=-1)
+    if want_depth:
+        return color, albedo, normal, _first_depth[0]
     return color, albedo, normal
 
 
@@ -960,13 +1054,15 @@ def render_sample(
     tile_cols: int | str | None = "auto",
     row0=0,
     full_height: int | None = None,
+    want_depth: bool = False,
 ):
     """One 1-spp path-traced sample of ``height`` rows starting at global row
     ``row0`` of a ``full_height``-row frame (defaults: the full frame).  ``row0``
     may be a traced scalar — the multi-chip path (parallel.sharding.sharded_render)
     passes each device's band offset from inside ``shard_map``.
 
-    Returns (color, albedo, normal) [height, W, 3] f32 (NOT accumulated).
+    Returns (color, albedo, normal) [height, W, 3] f32 (NOT accumulated); with
+    ``want_depth`` additionally the primary-hit distance [height, W].
 
     ``tile_rows`` (static): path-trace the frame in independent horizontal bands,
     sequenced by ``lax.map`` — every band runs its own bounce/DDA ``while_loop``s and
@@ -997,7 +1093,10 @@ def render_sample(
         tile_rows = 8 if tile_cols else TILE_ROWS
     row0 = jnp.asarray(row0, I32)
     if tile_rows is None or tile_rows >= height:
-        return _render_rows(scene, cam, params, height, width, frame_id, row0, full_height)
+        return _render_rows(
+            scene, cam, params, height, width, frame_id, row0, full_height,
+            want_depth=want_depth,
+        )
 
     n_full = height // tile_rows
     rem = height - n_full * tile_rows
@@ -1016,39 +1115,42 @@ def render_sample(
         def tile(off):
             return _render_rows(
                 scene, cam, params, tile_rows, tile_cols, frame_id,
-                row0 + off[0], full_height, off[1], width,
+                row0 + off[0], full_height, off[1], width, want_depth=want_depth,
             )
 
         offs = np.array(
             [(r, c * tile_cols) for r in row_offs for c in range(nc)], np.int32
         )
-        c, a, n = jax.lax.map(tile, jnp.asarray(offs))  # [n_bands*nc, tr, tc, 3]
+        outs = jax.lax.map(tile, jnp.asarray(offs))  # [n_bands*nc, tr, tc(, 3)]
 
         def asm(x):
-            x = x.reshape(n_bands, nc, tile_rows, tile_cols, 3)
-            return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
-                n_bands * tile_rows, width, 3
+            ch = x.shape[3:]  # () for depth, (3,) for color/aovs
+            x = x.reshape((n_bands, nc, tile_rows, tile_cols) + ch)
+            perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(ch)))
+            return jnp.transpose(x, perm).reshape(
+                (n_bands * tile_rows, width) + ch
             )
 
-        c, a, n = asm(c), asm(a), asm(n)
+        outs = tuple(asm(x) for x in outs)
     else:
         def band(band_row0):
             return _render_rows(
-                scene, cam, params, tile_rows, width, frame_id, band_row0, full_height
+                scene, cam, params, tile_rows, width, frame_id, band_row0,
+                full_height, want_depth=want_depth,
             )
 
         offsets = row0 + jnp.asarray(np.array(row_offs, np.int32))
-        c, a, n = jax.lax.map(band, offsets)  # [n_bands, tile_rows, W, 3] each
-        c = c.reshape(n_bands * tile_rows, width, 3)
-        a = a.reshape(n_bands * tile_rows, width, 3)
-        n = n.reshape(n_bands * tile_rows, width, 3)
+        outs = jax.lax.map(band, offsets)  # [n_bands, tile_rows, W(, 3)] each
+        outs = tuple(
+            x.reshape((n_bands * tile_rows, width) + x.shape[3:]) for x in outs
+        )
     if rem:  # drop the overlap rows recomputed by the final band
         cut = n_full * tile_rows
         keep = lambda x: jnp.concatenate(
             [x[:cut], x[cut + (tile_rows - rem):]], axis=0
         )
-        c, a, n = keep(c), keep(a), keep(n)
-    return c, a, n
+        outs = tuple(keep(x) for x in outs)
+    return outs
 
 
 def accumulate(fbs: FrameBuffers, color, albedo, normal, frame_id) -> FrameBuffers:

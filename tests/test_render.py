@@ -101,8 +101,13 @@ class TestTrace:
     def test_tiling_remainder_matches_untiled(self, box_scene):
         """A height that does not divide tile_rows renders its last rows via an
         overlapping full-shaped band; rays are keyed by global pixel, so the
-        result must match the untiled render to fp tolerance (programs of
-        different shapes may reassociate; observed ≤2e-5)."""
+        result must match the untiled render EXCEPT for isolated rays grazing a
+        voxel boundary: programs of different shapes may contract fma/reassociate
+        differently, and a one-ulp difference there flips a discrete traversal
+        decision (measured on XLA:CPU: 3 of 2432 pixels, scattered — NOT
+        remainder-row concentrated; a genuine remainder-band bug corrupts whole
+        64-px rows).  So the contract is: ≤0.5% of pixels may diverge beyond
+        tolerance, per AOV."""
         _, scene = box_scene
         player = camera.Player(pos=np.array([16.0, 150.0, -10.0], np.float32), phi=-0.4)
         H, W = 38, 64  # 38 % 4 == 2 -> remainder path
@@ -115,7 +120,10 @@ class TestTrace:
         for t, u in zip(tiled, untiled):
             t, u = np.asarray(t), np.asarray(u)
             assert t.shape == (H, W, 3)
-            np.testing.assert_allclose(t, u, atol=1e-3, rtol=1e-3)
+            bad = np.abs(t - u).max(axis=-1) > 1e-3
+            assert bad.sum() <= H * W * 0.005, (
+                f"{bad.sum()} divergent pixels at {np.argwhere(bad)[:20]}"
+            )
 
     def test_water_interface(self):
         vol = np.zeros((16, 16, 384), np.uint8)
@@ -143,6 +151,125 @@ class TestTrace:
         assert abs(float(res2.t[0]) - 18.0) < 0.01
         # exit normal points out of the water (up)
         assert float(res2.ny[0]) == 1.0
+
+
+class TestAlphaCutout:
+    """The DDA's park-and-resolve alpha test (the anyhit equivalent,
+    basic_shaders.cu:1046-1068): rays through zero-alpha texels of flagged
+    blocks pass through; opaque texels stop them.  Texel coordinates are read
+    from the real atlas, so the expectations are data-driven."""
+
+    pytestmark = pytest.mark.skipif(
+        not __import__(
+            "mega_minecraft_tpu.render.materials", fromlist=["HAS_REAL_ATLAS"]
+        ).HAS_REAL_ATLAS,
+        reason="needs the real texture atlas",
+    )
+
+    @staticmethod
+    def _alpha_tile(block_id: int):
+        from mega_minecraft_tpu.render.materials import TEX_DIFF_PACKED
+
+        tile = (
+            TEX_DIFF_PACKED.reshape(-1, 3, 8, 256)[block_id, 0, 0] >> np.uint32(24)
+        ) & 1
+        return tile.reshape(16, 16)  # [tv, tu]
+
+    @staticmethod
+    def _trace1(scene, o, d, medium=0):
+        res = tracer.trace(
+            scene,
+            jnp.asarray([o[0]]), jnp.asarray([o[1]]), jnp.asarray([o[2]]),
+            jnp.asarray([d[0]]), jnp.asarray([d[1]]), jnp.asarray([d[2]]),
+            jnp.full((1,), jnp.uint8(medium)),
+        )
+        return bool(res.hit[0]), int(np.asarray(res.block)[0]), float(res.t[0])
+
+    def test_leaf_block_cutout(self):
+        """+x ray into a floating leaf block: a transparent entry-face texel lets
+        the ray continue to the stone wall behind; an opaque one stops it."""
+        leaf = int(Block.JUNGLE_LEAVES_PLAIN)
+        tile = self._alpha_tile(leaf)
+        vol = np.zeros((16, 16, 384), np.uint8)
+        vol[8, 8, 200] = leaf
+        vol[:, 12, :] = int(Block.STONE)  # wall behind the leaf
+        chunks = vol.reshape(1, 16, 1, 16, 384).transpose(0, 2, 1, 3, 4)
+        scene = brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+
+        # entry face is +x (on_xf): u = frac(hit z), v = 1 − frac(hit y)
+        tv_t, tu_t = np.argwhere(tile == 0)[0]
+        tv_o, tu_o = np.argwhere(tile == 1)[0]
+
+        def ray_for(tv, tu):
+            z = 8.0 + (tu + 0.5) / 16.0
+            y = 200.0 + 1.0 - (tv + 0.5) / 16.0
+            return (2.0, y, z), (1.0, 0.0, 0.0)
+
+        o, d = ray_for(tv_t, tu_t)
+        hit, block, t = self._trace1(scene, o, d)
+        assert hit and block == int(Block.STONE), "transparent texel must pass"
+        assert abs(t - 10.0) < 0.01
+        o, d = ray_for(tv_o, tu_o)
+        hit, block, t = self._trace1(scene, o, d)
+        assert hit and block == leaf, "opaque texel must stop the ray"
+        assert abs(t - 6.0) < 0.01
+
+    def test_x_flora_cutout(self):
+        """+x ray through an X-shaped tuft: both crossed quads transparent at the
+        ray's uv → pass; opaque on the near quad → hit ON the quad."""
+        tuft = int(Block.GRASS)
+        tile = self._alpha_tile(tuft)
+        vol = np.zeros((16, 16, 384), np.uint8)
+        vol[8, 8, 150] = tuft
+        vol[:, 12, :] = int(Block.STONE)
+        chunks = vol.reshape(1, 16, 1, 16, 384).transpose(0, 2, 1, 3, 4)
+        scene = brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+
+        # for a +x ray at z = 8 + fz: quad A's texel is tu_a = floor(fz·16),
+        # quad B's is 15 − tu_a; v = 1 − frac(hit y) for both
+        both_clear = next(
+            (tv, tu) for tv in range(16) for tu in range(1, 15)
+            if tile[tv, tu] == 0 and tile[tv, 15 - tu] == 0
+        )
+        near_opaque = next(
+            (tv, tu) for tv in range(16) for tu in range(8)  # frac < 0.5 → A first
+            if tile[tv, tu] == 1
+        )
+
+        def ray_for(tv, tu):
+            z = 8.0 + (tu + 0.5) / 16.0
+            y = 150.0 + 1.0 - (tv + 0.5) / 16.0
+            return (2.0, y, z), (1.0, 0.0, 0.0)
+
+        tv, tu = both_clear
+        o, d = ray_for(tv, tu)
+        hit, block, t = self._trace1(scene, o, d)
+        assert hit and block == int(Block.STONE), "clear quads must pass"
+        tv, tu = near_opaque
+        o, d = ray_for(tv, tu)
+        hit, block, t = self._trace1(scene, o, d)
+        assert hit and block == tuft
+        # quad A: x − z = 0 → hit at x = z → t = z − ox
+        assert abs(t - (8.0 + (tu + 0.5) / 16.0 - 2.0)) < 0.01
+
+    def test_consecutive_cutouts_resolve(self):
+        """A ray crossing SEVERAL flagged voxels restarts the march each time:
+        three leaf blocks in a row, all transparent at the ray's texel → the ray
+        still reaches the wall."""
+        leaf = int(Block.JUNGLE_LEAVES_PLAIN)
+        tile = self._alpha_tile(leaf)
+        tv, tu = np.argwhere(tile == 0)[0]
+        vol = np.zeros((16, 16, 384), np.uint8)
+        for x in (6, 8, 10):
+            vol[8, x, 200] = leaf
+        vol[:, 13, :] = int(Block.STONE)
+        chunks = vol.reshape(1, 16, 1, 16, 384).transpose(0, 2, 1, 3, 4)
+        scene = brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+        z = 8.0 + (tu + 0.5) / 16.0
+        y = 200.0 + 1.0 - (tv + 0.5) / 16.0
+        hit, block, t = self._trace1(scene, (2.0, y, z), (1.0, 0.0, 0.0))
+        assert hit and block == int(Block.STONE)
+        assert abs(t - 11.0) < 0.01
 
 
 class TestSky:
