@@ -62,7 +62,7 @@ def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
     dt = (time.time() - t0) / n_frames
     assert img.shape[0] == cfg.height and np.isfinite(dt)
 
-    return {
+    out = {
         "metric": "fly-through ms/frame (streaming + denoise"
         + (" + 2x upscale to 1080p" if cfg.use_upscaling else "")
         + ")",
@@ -75,7 +75,14 @@ def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
         "render_res": [eng.render_w, eng.render_h],
         "present_res": [cfg.width, cfg.height],
         "scheduler": type(eng.scheduler).__name__,
+        "reprojection": cfg.use_reprojection,
     }
+    if cfg.use_reprojection:
+        # effective samples per pixel carried through the flight — the temporal-
+        # reprojection quality win (1.0 would mean every frame restarted at 1 spp
+        # the way the reference's accumulation reset does)
+        out["mean_effective_spp"] = round(float(np.asarray(eng.fbs.nsamp).mean()), 1)
+    return out
 
 
 def main():

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..render import brickmap, camera, denoise, sky, tonemap, tracer
+from ..render import brickmap, camera, denoise, reproject, sky, tonemap, tracer
 from ..terrain.scheduler import ChunkState, TerrainScheduler, make_scheduler
 from ..utils import profiling
 
@@ -50,6 +50,9 @@ class EngineConfig:
     use_denoising: bool = True  # reference USE_DENOISING (defines.hpp:11)
     use_upscaling: bool = False  # reference USE_UPSCALING (defines.hpp:12):
     # path-trace at half resolution, denoise, 2× upscale at present (~4× fewer rays)
+    use_reprojection: bool = True  # temporal reprojection: accumulation survives
+    # camera motion per-pixel (the reference resets it, optixRenderer.cpp:458-479,
+    # and its temporal denoiser is disabled — see render/reproject.py)
     native_scheduler: bool | None = None  # None = use the C++ core when available
 
 
@@ -93,14 +96,21 @@ class Engine:
         # internal render resolution (half when upscaling, optixRenderer.cpp:462-466)
         self.render_w = self.cfg.width // 2 if self.cfg.use_upscaling else self.cfg.width
         self.render_h = self.cfg.height // 2 if self.cfg.use_upscaling else self.cfg.height
-        self.fbs = tracer.init_framebuffers(self.render_h, self.render_w)
+        self.fbs = tracer.init_framebuffers(
+            self.render_h, self.render_w, temporal=self.cfg.use_reprojection
+        )
         # NOTE: no donate_argnums on the framebuffers — buffer donation through
         # this program produces invalid output aliases on the linked-TPU (axon)
         # backend (downstream reads fail with INVALID_ARGUMENT)
-        self._render = jax.jit(
-            tracer.render_accumulate,
-            static_argnames=("height", "width", "tile_rows", "tile_cols"),
+        statics = ("height", "width", "tile_rows", "tile_cols")
+        self._render = jax.jit(tracer.render_accumulate, static_argnames=statics)
+        self._render_temporal = jax.jit(
+            reproject.render_accumulate_temporal, static_argnames=statics
         )
+        self._render_static = jax.jit(
+            reproject.render_accumulate_static, static_argnames=statics
+        )
+        self._prev_cam = None
         self._pending_scene_updates: list = []
 
     # ------------------------------------------------------------------
@@ -189,15 +199,30 @@ class Engine:
             self.sun_time += dt * self.cfg.sun_speed
         self.fps.tick()
 
-        if cam_changed or scene_changed:
-            self.frame_id = 0  # reset accumulation (optixRenderer.cpp:475)
-
         params = sky.sky_params(self.sun_time, self.time)
         cam = self.player.camera_params(self.render_w, self.render_h)
-        self.fbs = self._render(
-            self.fbs, self.scene, cam, params, self.render_h, self.render_w,
-            jnp.int32(self.frame_id),
-        )
+        if self.cfg.use_reprojection:
+            # temporal path: camera motion reprojects the history; scene changes
+            # invalidate only the pixels whose first-hit depth moved (the depth
+            # test inside both programs) — no whole-frame resets
+            if cam_changed and self._prev_cam is not None:
+                self.fbs = self._render_temporal(
+                    self.fbs, self.scene, self._prev_cam, cam, params,
+                    self.render_h, self.render_w, jnp.int32(self.frame_id),
+                )
+            else:
+                self.fbs = self._render_static(
+                    self.fbs, self.scene, cam, params, self.render_h,
+                    self.render_w, jnp.int32(self.frame_id),
+                )
+            self._prev_cam = cam
+        else:
+            if cam_changed or scene_changed:
+                self.frame_id = 0  # reset accumulation (optixRenderer.cpp:475)
+            self.fbs = self._render(
+                self.fbs, self.scene, cam, params, self.render_h, self.render_w,
+                jnp.int32(self.frame_id),
+            )
         self.frame_id += 1
 
     def present(self) -> np.ndarray:
@@ -254,7 +279,7 @@ class Engine:
         self.time = state["time"]
         self.sun_time = state["sun_time"]
         self.time_paused = state.get("time_paused", False)
-        self.frame_id = 0
+        self._reset_accumulation()
         self.scheduler.set_player_pos(float(self.player.pos[0]), float(self.player.pos[2]))
         if regenerate:
             self.scheduler.drain()
@@ -305,17 +330,25 @@ class Engine:
         lz = int(self.player.pos[2] - cz * 16)
         return np.asarray(self.scheduler.t.d_layers[slot, :, lz, lx])
 
+    def _reset_accumulation(self):
+        self.frame_id = 0
+        if self.cfg.use_reprojection:
+            self.fbs = tracer.init_framebuffers(
+                self.render_h, self.render_w, temporal=True
+            )
+            self._prev_cam = None
+
     def set_zoomed(self, zoomed: bool):
         if zoomed != self.player.zoomed:
             self.player.zoomed = zoomed
-            self.frame_id = 0  # fov change invalidates accumulation
+            self._reset_accumulation()  # fov change invalidates accumulation
 
     def toggle_time_paused(self):
         self.time_paused = not self.time_paused
 
     def add_time(self, seconds: float):
         self.sun_time += seconds * self.cfg.sun_speed
-        self.frame_id = 0
+        self._reset_accumulation()  # lighting jump: history is stale everywhere
 
 
 def flythrough(
