@@ -126,6 +126,166 @@ def apply_placements(blocks, placements, chunk_pos1, heightfield, cave: bool):
     return blocks, placed
 
 
+@partial(jax.jit, static_argnames=("ncx", "ncz", "cave"))
+def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cave: bool):
+    """Apply every chunk's SOURCE placement list over the whole area volume at once.
+
+    Equivalent to running ``apply_placements`` per chunk on its 49-gathered list
+    (the fused-pipeline path), but each placement is evaluated ONCE over the
+    [ncz*16, ncx*16, 384] area instead of ~once per consumer chunk it reaches.
+    The reference resolves per-voxel conflicts by gathered-list order, and the
+    gathered order is (spiral rank of source-relative-to-consumer, slot)
+    (chunk.cu:1158-1167 offsets → GATHER_OFFSETS); that priority is reproduced
+    exactly by a min-key combine with key = rank(src_chunk, voxel_chunk)·K + slot,
+    where the rank maps are STATIC per (source, consumer) chunk-index pair.
+    Sources >3 chunks from a voxel's chunk get rank ∞ there — the same clipping
+    the 49-gather performs.  (The only divergence from the gathered path is the
+    per-consumer truncation to MAX_GATHERED_*_PER_CHUNK=2048/4096, which real
+    worlds never reach: 49 chunks × the 64/128 per-chunk caps ≈ the limit only
+    if every chunk saturates its cap.)
+
+    Args:
+      area_blocks: [ncz*16, ncx*16, 384] u8 (chunk rows z-major).
+      lists: dict of [B, K] source placements, B = ncz*ncx row-major inner chunks.
+      origin_xz: [2] i32 world-block origin (x, z) of the area corner.
+    Returns (area_blocks_with_features, placed_mask).
+    """
+    from .feature_placement import GATHER_OFFSETS
+
+    B, K = lists["feature"].shape
+    assert B == ncx * ncz
+    nz, nx = ncz * 16, ncx * 16
+
+    lx = jnp.arange(nx, dtype=I32)
+    lz = jnp.arange(nz, dtype=I32)
+    wx = jnp.broadcast_to(origin_xz[0] + lx[None, :, None], (nz, nx, 384))
+    wz = jnp.broadcast_to(origin_xz[1] + lz[:, None, None], (nz, nx, 384))
+    wy = jnp.broadcast_to(jnp.arange(384, dtype=I32), (nz, nx, 384))
+
+    if cave:
+        registry = _dispatch_tables(sdf.CAVE_FEATURE_FNS, fd.NUM_CAVE_FEATURES)
+        bounds = jnp.asarray(fd.CAVE_FEATURE_HEIGHT_BOUNDS)
+        feat_seed = sdf.SEED_CAVE_FEATURE_RNG
+        block_seed = sdf.SEED_CAVE_BLOCK_RNG
+    else:
+        registry = _dispatch_tables(sdf.SURFACE_FEATURE_FNS, fd.NUM_FEATURES)
+        bounds = jnp.asarray(fd.FEATURE_HEIGHT_BOUNDS)
+        feat_seed = sdf.SEED_SURFACE_FEATURE_RNG
+        block_seed = sdf.SEED_SURFACE_BLOCK_RNG
+
+    brng0 = hashes.seed_4(wx, wy, wz, block_seed)
+
+    # static spiral-rank maps: rank_maps[src_b, vz, vx] = gathered position of
+    # source chunk src_b in consumer chunk (vz, vx)'s spiral, or BIG if > 3 away
+    BIG = np.int32(64)
+    rank_of = {(int(o[0]), int(o[1])): r for r, o in enumerate(GATHER_OFFSETS)}
+    rank_maps = np.full((B, ncz, ncx), BIG, np.int32)
+    for sb in range(B):
+        sz, sx = divmod(sb, ncx)
+        for vz in range(ncz):
+            for vx in range(ncx):
+                r = rank_of.get((sx - vx, sz - vz))
+                if r is not None:
+                    rank_maps[sb, vz, vx] = r
+    rank_maps = jnp.asarray(rank_maps)
+    KEY_INF = jnp.iinfo(jnp.int32).max
+
+    # flatten sources and push empty slots to the end (order-preserving), so the
+    # while_loop visits only real placements
+    flat = {k: v.reshape(B * K) for k, v in lists.items()}
+    valid = flat["feature"] > 0
+    sort_key = jnp.where(valid, jnp.arange(B * K, dtype=I32), I32(2**30))
+    order = jnp.argsort(sort_key)
+    flat = {k: v[order] for k, v in flat.items()}
+    flat["feature"] = jnp.where(valid[order], flat["feature"], I32(0))
+    src_b = (order // K).astype(I32)
+    slot = (order % K).astype(I32)
+
+    def body(state):
+        i, best_key, best_block = state
+        feat = flat["feature"][i]
+        px = flat["x"][i]
+        py = flat["y"][i]
+        pz = flat["z"][i]
+        can_replace = flat["replace"][i] > 0
+        if cave:
+            layer_h = flat["height"][i]
+            lo = py + bounds[feat, 0]
+            hi = py + layer_h + bounds[feat, 1]
+        else:
+            layer_h = I32(0)
+            lo = py + bounds[feat, 0]
+            hi = py + bounds[feat, 1]
+
+        stream = sdf.draw_stream(px, py, pz, feat_seed)
+        fx = wx - px
+        fy = wy - py
+        fz = wz - pz
+        extra = {"fy_pos": py, "fpos": (px, py, pz), "layer_height": layer_h}
+
+        def run(fn):
+            return lambda: fn(stream, fx, fy, fz, wx, wy, wz, brng0, extra)
+
+        hit, fblock, _ = jax.lax.switch(feat, [run(f) for f in registry])
+        # per-voxel priority: gathered position in the voxel's own chunk's spiral
+        rm = jnp.take(rank_maps, src_b[i], axis=0)  # [ncz, ncx]
+        key = (rm * I32(K) + slot[i]).astype(jnp.int32)
+        key = jnp.where(rm >= I32(BIG), KEY_INF, key)
+        key = jnp.repeat(jnp.repeat(key, 16, axis=0), 16, axis=1)[:, :, None]
+        candidate = (
+            ((area_blocks == AIR) | can_replace)
+            & (wy >= lo)
+            & (wy <= hi)
+            & hit
+            & (key < best_key)
+        )
+        best_key = jnp.where(candidate, key, best_key)
+        best_block = jnp.where(candidate, fblock, best_block)
+        return i + 1, best_key, best_block
+
+    def cond(state):
+        i, _, _ = state
+        return (i < B * K) & (flat["feature"][i] != 0)
+
+    best_key0 = jnp.full((nz, nx, 384), KEY_INF, jnp.int32)
+    best_block0 = jnp.zeros((nz, nx, 384), U8)
+    _, best_key, best_block = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), best_key0, best_block0)
+    )
+    placed = best_key != KEY_INF
+    return jnp.where(placed, best_block, area_blocks), placed
+
+
+@partial(jax.jit, static_argnames=("ncx", "ncz"))
+def apply_features_area(blocks, surface_lists, cave_lists, chunk_pos, ncx: int, ncz: int):
+    """Area-level ``apply_features_chunk``: surface placements take priority; cave
+    placements test against the TERRAIN block and only claim voxels no surface
+    feature took (chunk.cu:1443-1507).
+
+    Args:
+      blocks: [B, 16, 16, 384] u8, B = ncz*ncx row-major.
+      surface_lists / cave_lists: per-chunk SOURCE lists (dict of [B, K]) —
+        the pre-gather output of feature_placement.compact_placements.
+      chunk_pos: [B, 2] world-block chunk origins.
+    Returns [B, 16, 16, 384] u8.
+    """
+    B = blocks.shape[0]
+    area = (
+        blocks.reshape(ncz, ncx, 16, 16, 384)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ncz * 16, ncx * 16, 384)
+    )
+    origin = chunk_pos[0]
+    area_s, placed_s = apply_placements_area(area, surface_lists, origin, ncx, ncz, cave=False)
+    area_c, placed_c = apply_placements_area(area, cave_lists, origin, ncx, ncz, cave=True)
+    out = jnp.where(placed_s, area_s, jnp.where(placed_c, area_c, area))
+    return (
+        out.reshape(ncz, 16, ncx, 16, 384)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, 16, 16, 384)
+    )
+
+
 @jax.jit
 def apply_features_chunk(blocks, surface_list, cave_list, chunk_pos1, heightfield):
     """Surface placements take priority; cave placements test against the TERRAIN

@@ -62,40 +62,19 @@ def generate_area_fused(pos_halo, ncx: int, ncz: int, features: bool = False):
         from . import decorators as decorators_mod
         from . import feature_placement as fp
         from . import features as features_mod
-        from ..world import biomes as bio2
 
         pl = fp.generate_placements(
             hf_in, w_in, ls, cv["starts"], cv["ends"],
             cv["bottom_biome"], cv["top_biome"], pos_in,
         )
         lists = fp.compact_placements(pl, pos_in)
-        # static neighborhood slot table over the inner grid; out-of-area
-        # neighbors alias chunk 0 with their lists masked off (border clipped)
-        n = ncz * ncx
-        nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), I32)
-        nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
-        for ci in range(n):
-            iz, ix = divmod(ci, ncx)
-            for oi, o in enumerate(fp.GATHER_OFFSETS):
-                jx, jz = ix + int(o[0]), iz + int(o[1])
-                if 0 <= jx < ncx and 0 <= jz < ncz:
-                    nb_idx[ci, oi] = jz * ncx + jx
-                    nb_ok[ci, oi] = True
-        nbi = jnp.asarray(nb_idx)
-        mask = jnp.asarray(nb_ok)[..., None]
-
-        def nb_lists(per_chunk):
-            out = {k: v[nbi] for k, v in per_chunk.items()}
-            out["feature"] = jnp.where(mask, out["feature"], 0)
-            return out
-
-        surf = fp.gather_from_neighborhood_batch(
-            nb_lists(lists["surface"]), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+        # area-level application: every source placement evaluates ONCE over the
+        # whole area with exact spiral-gather priority (features.py) — replaces
+        # the per-chunk 49-gather + per-chunk loops (each source re-evaluated in
+        # up to 49 consumer chunks); area borders clip identically (rank ∞)
+        blocks = features_mod.apply_features_area(
+            blocks, lists["surface"], lists["cave"], pos_in, ncx, ncz
         )
-        cave = fp.gather_from_neighborhood_batch(
-            nb_lists(lists["cave"]), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
-        )
-        blocks = features_mod.apply_features_batch(blocks, surf, cave, pos_in, hf_in)
         blocks = decorators_mod.place_decorators_batch(
             blocks, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in
         )
@@ -210,37 +189,12 @@ def generate_area(
         from . import decorators as decorators_mod
         from . import feature_placement as fp
         from . import features as features_mod
-        from ..world import biomes as bio2
 
-        sf = placement_lists["surface"]
-        cf = placement_lists["cave"]
-        # neighborhood slot table; out-of-area neighbors alias chunk 0 with their
-        # list masked off via a validity column (border features clipped)
-        nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), I32)
-        nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
-        for ci in range(n):
-            iz, ix = divmod(ci, ncx)
-            for oi, o in enumerate(fp.GATHER_OFFSETS):
-                jx, jz = ix + int(o[0]), iz + int(o[1])
-                if 0 <= jx < ncx and 0 <= jz < ncz:
-                    nb_idx[ci, oi] = jz * ncx + jx
-                    nb_ok[ci, oi] = True
-        nbi = jnp.asarray(nb_idx)
-        mask = jnp.asarray(nb_ok)[..., None]
-
-        def nb_lists(lists):
-            out = {k: v[nbi] for k, v in lists.items()}
-            out["feature"] = jnp.where(mask, out["feature"], 0)
-            return out
-
-        surf = fp.gather_from_neighborhood_batch(
-            nb_lists(sf), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
-        )
-        cave = fp.gather_from_neighborhood_batch(
-            nb_lists(cf), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
-        )
-        b = features_mod.apply_features_batch(
-            jnp.asarray(blocks_np), surf, cave, pos_in, hf_in
+        # area-level application (see generate_area_fused): one evaluation per
+        # source placement over the whole area, exact spiral-gather priority
+        b = features_mod.apply_features_area(
+            jnp.asarray(blocks_np), placement_lists["surface"],
+            placement_lists["cave"], pos_in, ncx, ncz,
         )
         b = decorators_mod.place_decorators_batch(
             b, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in

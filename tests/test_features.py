@@ -166,3 +166,215 @@ class TestDecorators:
         o1 = np.asarray(dm.place_decorators(jnp.asarray(blocks), hf, w, cs, ce, cb, pos))
         o2 = np.asarray(dm.place_decorators(jnp.asarray(blocks), hf, w, cs, ce, cb, pos))
         np.testing.assert_array_equal(o1, o2)
+
+
+@pytest.mark.slow
+class TestAreaEquality:
+    """apply_features_area must reproduce the per-chunk gathered path exactly:
+    same winners per voxel (spiral-rank priority), same border clipping.
+    Slow tier, TPU-only: generate_placements + the full-registry feature switch
+    compile in minutes on TPU but XLA:CPU needs >68 GB / hours (measured twice).
+    The same contract is CPU-checkable via synthetic lists + trimmed registry —
+    see TestAreaEqualitySynthetic below and _verify_area_cpu.py."""
+
+    @pytest.fixture(autouse=True)
+    def _tpu_only(self):
+        import jax
+
+        if jax.default_backend() == "cpu":
+            pytest.skip("XLA:CPU compile of generate_placements needs >68 GB")
+
+    def _gathered_reference(self, blocks, lists, pos, ncx, ncz):
+        """The pre-area pipeline: per-chunk 49-gather + apply_features_batch."""
+        from mega_minecraft_tpu.world import biomes as bio2
+
+        n = ncz * ncx
+        nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), np.int32)
+        nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
+        for ci in range(n):
+            iz, ix = divmod(ci, ncx)
+            for oi, o in enumerate(fp.GATHER_OFFSETS):
+                jx, jz = ix + int(o[0]), iz + int(o[1])
+                if 0 <= jx < ncx and 0 <= jz < ncz:
+                    nb_idx[ci, oi] = jz * ncx + jx
+                    nb_ok[ci, oi] = True
+        nbi = jnp.asarray(nb_idx)
+        mask = jnp.asarray(nb_ok)[..., None]
+
+        def nb_lists(per_chunk):
+            out = {k: v[nbi] for k, v in per_chunk.items()}
+            out["feature"] = jnp.where(mask, out["feature"], 0)
+            return out
+
+        surf = fp.gather_from_neighborhood_batch(
+            nb_lists(lists["surface"]), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+        )
+        cave = fp.gather_from_neighborhood_batch(
+            nb_lists(lists["cave"]), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+        )
+        hf = jnp.zeros((n, 16, 16), jnp.float32)
+        return np.asarray(fm.apply_features_batch(blocks, surf, cave, pos, hf))
+
+    def test_area_matches_gathered(self):
+        """2x2 area, real jungle placements in every chunk (trees overhang chunk
+        borders, so cross-chunk writes + spiral priority are exercised)."""
+        ncx = ncz = 2
+        B = ncx * ncz
+        hf = jnp.full((B, 16, 16), 150.0, jnp.float32)
+        w = jnp.zeros((B, 24, 16, 16), jnp.float32).at[:, int(Biome.JUNGLE)].set(1.0)
+        layers = jnp.zeros((B, 20, 16, 16), jnp.float32)
+        layers = layers.at[:, 15].set(140.0)
+        for l in range(16, 20):
+            layers = layers.at[:, l].set(150.0)
+        cs = jnp.full((B, 16, 16, 32), 384, jnp.int32)
+        ce = jnp.full((B, 16, 16, 32), 384, jnp.int32)
+        cb = jnp.zeros((B, 16, 16, 32), jnp.int32)
+        pos = jnp.asarray(
+            np.array([[0, 0], [16, 0], [0, 16], [16, 16]], np.int32)
+        )
+        pl = fp.generate_placements(hf, w, layers, cs, ce, cb, cb, pos)
+        lists = fp.compact_placements(pl, pos)
+        n_src = int((np.asarray(lists["surface"]["feature"]) > 0).sum())
+        assert n_src >= 2, "need real placements for a meaningful test"
+
+        blocks = np.zeros((B, 16, 16, 384), np.uint8)
+        blocks[:, :, :, :151] = int(Block.STONE)
+        blocks = jnp.asarray(blocks)
+
+        ref = self._gathered_reference(blocks, lists, pos, ncx, ncz)
+        area = np.asarray(
+            fm.apply_features_area(blocks, lists["surface"], lists["cave"], pos, ncx, ncz)
+        )
+        n_feat = int((ref != np.asarray(blocks)).sum())
+        assert n_feat > 50, f"vacuous: only {n_feat} feature blocks written"
+        np.testing.assert_array_equal(area, ref)
+
+    def test_area_cave_matches_gathered(self):
+        """Cave features (mushroom cave biome) through the area path."""
+        ncx, ncz = 2, 1
+        B = 2
+        hf = jnp.full((B, 16, 16), 150.0, jnp.float32)
+        w = jnp.zeros((B, 24, 16, 16), jnp.float32).at[:, int(Biome.PLAINS)].set(1.0)
+        layers = jnp.zeros((B, 20, 16, 16), jnp.float32)
+        for l in range(15, 20):
+            layers = layers.at[:, l].set(150.0)
+        cs = jnp.full((B, 16, 16, 32), 384, jnp.int32).at[:, :, :, 0].set(60)
+        ce = jnp.full((B, 16, 16, 32), 384, jnp.int32).at[:, :, :, 0].set(90)
+        cb = jnp.full((B, 16, 16, 32), int(CaveBiome.MUSHROOM_CAVES), jnp.int32)
+        pos = jnp.asarray(np.array([[0, 0], [16, 0]], np.int32))
+        pl = fp.generate_placements(hf, w, layers, cs, ce, cb, cb, pos)
+        lists = fp.compact_placements(pl, pos)
+        n_src = int((np.asarray(lists["cave"]["feature"]) > 0).sum())
+        assert n_src >= 1, "no cave placements generated"
+
+        blocks = np.zeros((B, 16, 16, 384), np.uint8)
+        blocks[:, :, :, :151] = int(Block.STONE)
+        for b in range(B):
+            blocks[b, :, :, 61:91] = 0  # carve the cave layer
+        blocks = jnp.asarray(blocks)
+
+        ref = self._gathered_reference(blocks, lists, pos, ncx, ncz)
+        area = np.asarray(
+            fm.apply_features_area(blocks, lists["surface"], lists["cave"], pos, ncx, ncz)
+        )
+        n_feat = int((ref != np.asarray(blocks)).sum())
+        assert n_feat > 0, "vacuous: no cave feature blocks written"
+        np.testing.assert_array_equal(area, ref)
+
+
+@pytest.mark.slow
+class TestAreaEqualitySynthetic:
+    """CPU-tractable variant of TestAreaEquality: synthetic placement lists (no
+    generate_placements compile) + SDF registries trimmed to the two lightest
+    geometry fns.  The geometry is shared verbatim by both paths; what the area
+    refactor changes — spiral-rank/slot priority, cross-chunk overhang writes,
+    border clipping, replace semantics, surface-over-cave arbitration — is fully
+    exercised.  (Same scenario as _verify_area_cpu.py.)"""
+
+    def test_area_matches_gathered_synthetic(self):
+        import jax
+
+        from mega_minecraft_tpu.terrain import features_sdf as sdf
+        from mega_minecraft_tpu.world import biomes as bio2
+        from mega_minecraft_tpu.world.features_data import CaveFeature
+
+        old_s, old_c = sdf.SURFACE_FEATURE_FNS, sdf.CAVE_FEATURE_FNS
+        sdf.SURFACE_FEATURE_FNS = {
+            int(Feature.SPHERE): old_s[int(Feature.SPHERE)]
+        }
+        sdf.CAVE_FEATURE_FNS = {
+            int(CaveFeature.TEST_GLOWSTONE_PILLAR):
+                old_c[int(CaveFeature.TEST_GLOWSTONE_PILLAR)]
+        }
+        jax.clear_caches()
+        try:
+            ncx = ncz = 2
+            B = 4
+            pos = jnp.asarray(np.array([[0, 0], [16, 0], [0, 16], [16, 16]], np.int32))
+            SP, PIL = int(Feature.SPHERE), int(CaveFeature.TEST_GLOWSTONE_PILLAR)
+            surf = {k: np.zeros((B, 64), np.int32)
+                    for k in ("feature", "x", "y", "z", "replace")}
+            cave = {k: np.zeros((B, 128), np.int32)
+                    for k in ("feature", "x", "y", "z", "replace", "height")}
+            surf_entries = [
+                [(SP, 14, 150, 14, 0), (SP, 12, 150, 12, 0), (SP, 4, 144, 4, 1),
+                 (SP, 8, 92, 8, 0)],
+                [(SP, 18, 150, 14, 0)],
+                [],
+                [(SP, 18, 150, 18, 0)],
+            ]
+            cave_entries = [[(PIL, 8, 60, 8, 0, 30)], [], [(PIL, 24, 60, 8, 0, 25)], []]
+            for b, entries in enumerate(surf_entries):
+                for s, (f, x, y, z, r) in enumerate(entries):
+                    surf["feature"][b, s] = f
+                    surf["x"][b, s], surf["y"][b, s], surf["z"][b, s] = x, y, z
+                    surf["replace"][b, s] = r
+            for b, entries in enumerate(cave_entries):
+                for s, (f, x, y, z, r, h) in enumerate(entries):
+                    cave["feature"][b, s] = f
+                    cave["x"][b, s], cave["y"][b, s], cave["z"][b, s] = x, y, z
+                    cave["replace"][b, s], cave["height"][b, s] = r, h
+            surf = {k: jnp.asarray(v) for k, v in surf.items()}
+            cave = {k: jnp.asarray(v) for k, v in cave.items()}
+
+            blocks = np.zeros((B, 16, 16, 384), np.uint8)
+            blocks[:, :, :, :146] = int(Block.STONE)
+            blocks[:, :, :, 60:91] = 0
+            blocks = jnp.asarray(blocks)
+
+            # gathered reference (the pre-area pipeline)
+            n = ncz * ncx
+            nb_idx = np.zeros((n, len(fp.GATHER_OFFSETS)), np.int32)
+            nb_ok = np.zeros((n, len(fp.GATHER_OFFSETS)), bool)
+            for ci in range(n):
+                iz, ix = divmod(ci, ncx)
+                for oi, o in enumerate(fp.GATHER_OFFSETS):
+                    jx, jz = ix + int(o[0]), iz + int(o[1])
+                    if 0 <= jx < ncx and 0 <= jz < ncz:
+                        nb_idx[ci, oi] = jz * ncx + jx
+                        nb_ok[ci, oi] = True
+            nbi = jnp.asarray(nb_idx)
+            mask = jnp.asarray(nb_ok)[..., None]
+
+            def nb_lists(per_chunk):
+                out = {k: v[nbi] for k, v in per_chunk.items()}
+                out["feature"] = jnp.where(mask, out["feature"], 0)
+                return out
+
+            gs = fp.gather_from_neighborhood_batch(
+                nb_lists(surf), bio2.MAX_GATHERED_FEATURES_PER_CHUNK
+            )
+            gc = fp.gather_from_neighborhood_batch(
+                nb_lists(cave), bio2.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
+            )
+            hf = jnp.zeros((n, 16, 16), jnp.float32)
+            ref = np.asarray(fm.apply_features_batch(blocks, gs, gc, pos, hf))
+            area = np.asarray(fm.apply_features_area(blocks, surf, cave, pos, ncx, ncz))
+
+            base = np.asarray(blocks)
+            assert int((ref != base).sum()) > 200, "vacuous"
+            assert int((ref[1:] != base[1:]).sum()) > 10, "no cross-chunk overhang"
+            np.testing.assert_array_equal(area, ref)
+        finally:
+            sdf.SURFACE_FEATURE_FNS, sdf.CAVE_FEATURE_FNS = old_s, old_c
+            jax.clear_caches()
