@@ -10,6 +10,7 @@ path-traced, denoised and tonemapped (reference main loop, main.cpp:661-717).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,6 +21,7 @@ def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
     """Run the fly-through benchmark; returns the stats dict (JSON-safe)."""
     from mega_minecraft_tpu.app.engine import Engine, EngineConfig
 
+    compact = os.environ.get("MMTPU_COMPACT", "") not in ("", "0")
     if reference_scale:
         cfg = EngineConfig(
             width=1920,
@@ -29,6 +31,7 @@ def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
             skip_erosion=False,
             use_denoising=True,
             use_upscaling=True,  # render 960x540, 2x denoise-upscale (USE_UPSCALING)
+            use_compaction=compact,  # MMTPU_COMPACT=1: A/B the compacted bounce loop
         )
     else:  # clipped round-1 config, kept for A/B history
         cfg = EngineConfig(

@@ -16,10 +16,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def run(H, W, scene, cam, params, reps=8):
+def run(H, W, scene, cam, params, reps=8, compact=False):
     from mega_minecraft_tpu.render import tracer
 
-    render = jax.jit(tracer.render_sample, static_argnames=("height", "width", "tile_rows", "tile_cols"))
+    fn = tracer.render_sample_compact if compact else tracer.render_sample
+    render = jax.jit(fn, static_argnames=(
+        ("height", "width", "tile_rows", "tile_cols", "seg_lanes")
+        if compact else ("height", "width", "tile_rows", "tile_cols")
+    ))
     fbs = tracer.init_framebuffers(H, W)
     c, a, n = render(scene, cam, params, H, W, jnp.int32(0))
     fbs = tracer.accumulate(fbs, c, a, n, jnp.int32(0))
@@ -50,6 +54,9 @@ def main():
     W, H = 1920, 1080
     cam = player.camera_params(W, H)
     dt_full, fbs = run(H, W, scene, cam, params)
+    dt_compact, fbs_c = run(H, W, scene, cam, params, compact=True)
+    # sanity: the two paths must agree (same seed streams; fp-chaos tolerance)
+    diff = float(jnp.mean(jnp.abs(fbs.color - fbs_c.color)))
 
     cam_half = player.camera_params(W // 2, H // 2)
     dt_half, fbs_half = run(H // 2, W // 2, scene, cam_half, params)
@@ -70,6 +77,8 @@ def main():
         "gen_seconds_9x9": round(gen_s, 1),
         "ms_per_frame_1080p": round(dt_full * 1e3, 1),
         "mpaths_per_s_1080p": round(W * H / dt_full / 1e6, 3),
+        "ms_per_frame_1080p_compact": round(dt_compact * 1e3, 1),
+        "compact_mean_abs_diff": round(diff, 6),
         "ms_per_frame_upscaled(540p render)": round(dt_half * 1e3, 1),
         "denoise_upscale_ms": round(denoise_s * 1e3, 1),
         "fps_upscaled": round(1.0 / (dt_half + denoise_s), 2),

@@ -53,6 +53,8 @@ class EngineConfig:
     use_reprojection: bool = True  # temporal reprojection: accumulation survives
     # camera motion per-pixel (the reference resets it, optixRenderer.cpp:458-479,
     # and its temporal denoiser is disabled — see render/reproject.py)
+    use_compaction: bool = False  # partition-by-aliveness bounce loop
+    # (tracer.render_sample_compact); opt-in until measured faster on-chip
     native_scheduler: bool | None = None  # None = use the C++ core when available
 
 
@@ -102,7 +104,7 @@ class Engine:
         # NOTE: no donate_argnums on the framebuffers — buffer donation through
         # this program produces invalid output aliases on the linked-TPU (axon)
         # backend (downstream reads fail with INVALID_ARGUMENT)
-        statics = ("height", "width", "tile_rows", "tile_cols")
+        statics = ("height", "width", "tile_rows", "tile_cols", "compact")
         self._render = jax.jit(tracer.render_accumulate, static_argnames=statics)
         self._render_temporal = jax.jit(
             reproject.render_accumulate_temporal, static_argnames=statics
@@ -209,11 +211,13 @@ class Engine:
                 self.fbs = self._render_temporal(
                     self.fbs, self.scene, self._prev_cam, cam, params,
                     self.render_h, self.render_w, jnp.int32(self.frame_id),
+                    compact=self.cfg.use_compaction,
                 )
             else:
                 self.fbs = self._render_static(
                     self.fbs, self.scene, cam, params, self.render_h,
                     self.render_w, jnp.int32(self.frame_id),
+                    compact=self.cfg.use_compaction,
                 )
             self._prev_cam = cam
         else:
@@ -221,7 +225,7 @@ class Engine:
                 self.frame_id = 0  # reset accumulation (optixRenderer.cpp:475)
             self.fbs = self._render(
                 self.fbs, self.scene, cam, params, self.render_h, self.render_w,
-                jnp.int32(self.frame_id),
+                jnp.int32(self.frame_id), compact=self.cfg.use_compaction,
             )
         self.frame_id += 1
 

@@ -143,12 +143,13 @@ def render_accumulate_temporal(
     frame_id,
     tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
+    compact: bool = False,
 ) -> FrameBuffers:
     """One 1-spp sample + reprojected accumulation as a single program (the moving-
     camera analogue of tracer.render_accumulate; jit with the same statics)."""
     c, a, n, d = tracer.render_sample(
         scene, cam, params, height, width, frame_id, tile_rows, tile_cols,
-        want_depth=True,
+        want_depth=True, compact=compact,
     )
     hc, ha, hn, hns = reproject_history(fbs, cam_prev, cam, d, height, width)
     return _blend(hns, hc, ha, hn, c, a, n, d)
@@ -164,6 +165,7 @@ def render_accumulate_static(
     frame_id,
     tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
+    compact: bool = False,
 ) -> FrameBuffers:
     """Static-camera accumulation with per-pixel history: no reprojection gather
     (pixels map to themselves exactly), but history is still CLAMPED wherever the
@@ -175,7 +177,7 @@ def render_accumulate_static(
     limit — a hard reset would keep those pixels at 1 spp forever)."""
     c, a, n, d = tracer.render_sample(
         scene, cam, params, height, width, frame_id, tile_rows, tile_cols,
-        want_depth=True,
+        want_depth=True, compact=compact,
     )
     tol = jnp.maximum(F32(REL_TOL) * d, F32(ABS_TOL))
     same = jnp.abs(jnp.minimum(fbs.depth, F32(DEPTH_CAP)) - d) <= tol

@@ -88,11 +88,17 @@ class TraceResult(NamedTuple):
     nz: jnp.ndarray
 
 
-def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRACE_STEPS):
+def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRACE_STEPS,
+          active=None):
     """Distance-field DDA from (o, d) in world space: ONE u8 gather per step; empty
     space is skipped by the Chebyshev distance stored in the field (brickmap.py).
     medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
-    All args [..] arrays."""
+    All args [..] arrays.
+
+    ``active``: optional bool mask — lanes outside it never march, so the
+    ``jnp.any(alive)`` loop bound is set by the worst lane that MATTERS, not by a
+    stale parked ray whose result the caller would mask off anyway (done lanes in
+    a bounce iteration, non-NEE lanes in a shadow trace)."""
     zdim, xdim, ydim = scene.field.shape
     orig = scene.origin.astype(F32)  # world (x, y, z) of volume corner
 
@@ -118,6 +124,8 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     )
     t_start = jnp.maximum(t_in, F32(0.0)) + F32(1e-4)
     alive0 = (t_out > t_start) & (t_out > F32(0.0))
+    if active is not None:
+        alive0 = alive0 & active
     # fog-saturation cap: beyond FOG_FULL_DIST horizontal blocks the fog factor is 1
     # and any hit is invisible — terminating there bounds grazing-ray step counts
     horiz = jnp.sqrt(dx * dx + dz * dz)
@@ -563,88 +571,22 @@ def _rng(seed):
     return hashes.rnd(seed)
 
 
-def _render_rows(
-    scene: Scene,
-    cam,
-    params: SkyParams,
-    height: int,
-    width: int,
-    frame_id,
-    row0,
-    full_height: int,
-    col0=0,
-    full_width: int | None = None,
-    want_depth: bool = False,
-):
-    """One 1-spp path-traced sample of a ``height``x``width`` tile whose top-left
-    global pixel is (``row0``, ``col0``) of the full frame.
-
-    Returns (color, albedo, normal) [height, width, 3] f32 (NOT accumulated);
-    with ``want_depth`` additionally the primary-hit camera distance [height,
-    width] (DEPTH_CAP where the primary ray escaped) for temporal reprojection.
-    All per-pixel state (seeds, rays) is keyed by GLOBAL pixel coordinates, so the
-    image is bit-identical for any tiling.
-    """
-    from .camera import pixel_rays
-
-    if full_width is None:
-        full_width = width
-    ix = jnp.arange(width, dtype=I32)[None, :] + jnp.asarray(col0, I32)
-    iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
-    seed = hashes.tea(iy * full_width + ix, jnp.asarray(frame_id, I32), rounds=4)
-    seed = jnp.broadcast_to(seed, (height, width))
-
-    j1, seed = _rng(seed)
-    j2, seed = _rng(seed)
-    dx, dy, dz = pixel_rays(
-        cam, width, height, (j1, j2),
-        row0=row0, full_height=full_height, col0=col0, full_width=full_width,
-    )
-
-    shape = (height, width)
-    # all loop-state zeros/constants derive from the (row0-dependent) rays so
-    # their shard_map varying-axes match the loop outputs (bare literals are
-    # unvarying and fail the while_loop vma check under shard_map)
-    zeros = dx * F32(0.0)
-    f0 = lambda: (zeros, zeros, zeros)
-
-    pos = (
-        cam.position[0] + zeros,
-        cam.position[1] + zeros,
-        cam.position[2] + zeros,
-    )
-
+def _make_body(scene, params, depth_sink=None):
+    """Build the per-bounce state transition (one radiance DDA + shading + NEE
+    shadow DDA) over an arbitrary lane shape.  The returned ``body`` derives every
+    lane-shaped constant from the state itself, so the SAME function drives both
+    the spatial band renderer (_render_rows, [h, w] lanes) and the compacted
+    bounce loop (render_sample_compact, [n] lanes).  ``depth_sink``: optional
+    list that receives the primary-hit camera distance on a first=True call
+    (the temporal-reprojection AOV).  Returns (body, active_of)."""
     props_tab = jnp.asarray(BLOCK_PROPS)
     tex_diff_tab = jnp.asarray(TEX_DIFF_PACKED)
     tex_emis_tab = jnp.asarray(TEX_EMIS_PACKED)
 
     sun_y = params.sun_dir[1]
 
-    state = dict(
-        depth=zeros.astype(I32),
-        it=jnp.zeros((), I32),
-        pos=pos,
-        dir=(dx, dy, dz),
-        medium=(zeros + F32(AIR)).astype(U8),
-        seed=seed,
-        ray_color=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
-        pixel_color=f0(),
-        albedo=f0(),
-        normal=f0(),
-        needs_first=zeros == zeros,
-        done=zeros != zeros,
-        scattered=zeros != zeros,
-        scatter_pos=pos,
-        scatter_factor=zeros + 1.0,
-        fog_color=f0(),
-        fog_factor=zeros,
-    )
-
     def active_of(s):
         return ~s["done"] & ~s["scattered"] & (s["depth"] < MAX_RAY_DEPTH)
-
-    def cond(s):
-        return jnp.any(active_of(s)) & (s["it"] < MAX_LOOP_ITERS)
 
     def body(s, first: bool = False):
         """One bounce.  ``first=True`` (static) enables the first-hit-only logic —
@@ -663,12 +605,13 @@ def _render_rows(
         res = trace(
             scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
             max_steps=MAX_TRACE_STEPS if first else BOUNCE_TRACE_STEPS,
+            active=active,
         )
-        if first and want_depth:
+        if first and depth_sink is not None:
             # primary-hit camera distance (res.t is 1e20 on miss), for temporal
             # reprojection; captured outside the while_loop so no carry is added
             # (the non-depth program's HLO — and compile cache — is unchanged)
-            _first_depth.append(jnp.minimum(res.t, F32(DEPTH_CAP)))
+            depth_sink.append(jnp.minimum(res.t, F32(DEPTH_CAP)))
         hit = res.hit & active
         miss = ~res.hit & active
 
@@ -686,7 +629,7 @@ def _render_rows(
             )
         else:
             (sky_r, sky_g, sky_b), _found = sky_mod.sky_color(ddx, ddy, ddz, params)
-            fog_r = fog_g = fog_b = zeros
+            fog_r = fog_g = fog_b = s["fog_factor"] * F32(0.0)
 
         pr, pg, pb = s["pixel_color"]
         rr, rg, rb = s["ray_color"]
@@ -954,8 +897,8 @@ def _render_rows(
         sdx, sdy, sdz = _sample_star(params, is_sun, scattered, x1, x2)
         spx = tuple(jnp.where(scattered, sp, p) for sp, p in zip(scatter_pos, (new_px, new_py, new_pz)))
         sres = trace(
-            scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full(shape, U8(AIR)),
-            max_steps=SHADOW_TRACE_STEPS,
+            scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full_like(s["medium"], U8(AIR)),
+            max_steps=SHADOW_TRACE_STEPS, active=nee,
         )
         shadow_miss = ~sres.hit
         # doFog's getSkyColor runs with needsFirstHitData already false -> disks yes,
@@ -1013,9 +956,96 @@ def _render_rows(
             fog_factor=fog_factor,
         )
 
+    return body, active_of
+
+
+def _init_state(cam, height, width, frame_id, row0, full_height, col0=0, full_width=None):
+    """Fresh path state for a ``height``x``width`` tile whose top-left global pixel
+    is (``row0``, ``col0``).  Seeds and camera rays are keyed by GLOBAL pixel
+    coordinates, so any tiling of the frame computes the same paths."""
+    from .camera import pixel_rays
+
+    if full_width is None:
+        full_width = width
+    ix = jnp.arange(width, dtype=I32)[None, :] + jnp.asarray(col0, I32)
+    iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
+    seed = hashes.tea(iy * full_width + ix, jnp.asarray(frame_id, I32), rounds=4)
+    seed = jnp.broadcast_to(seed, (height, width))
+
+    j1, seed = _rng(seed)
+    j2, seed = _rng(seed)
+    dx, dy, dz = pixel_rays(
+        cam, width, height, (j1, j2),
+        row0=row0, full_height=full_height, col0=col0, full_width=full_width,
+    )
+
+    # all loop-state zeros/constants derive from the (row0-dependent) rays so
+    # their shard_map varying-axes match the loop outputs (bare literals are
+    # unvarying and fail the while_loop vma check under shard_map)
+    zeros = dx * F32(0.0)
+    f0 = lambda: (zeros, zeros, zeros)
+
+    pos = (
+        cam.position[0] + zeros,
+        cam.position[1] + zeros,
+        cam.position[2] + zeros,
+    )
+
+    return dict(
+        depth=zeros.astype(I32),
+        it=jnp.zeros((), I32),
+        pos=pos,
+        dir=(dx, dy, dz),
+        medium=(zeros + F32(AIR)).astype(U8),
+        seed=seed,
+        ray_color=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
+        pixel_color=f0(),
+        albedo=f0(),
+        normal=f0(),
+        needs_first=zeros == zeros,
+        done=zeros != zeros,
+        scattered=zeros != zeros,
+        scatter_pos=pos,
+        scatter_factor=zeros + 1.0,
+        fog_color=f0(),
+        fog_factor=zeros,
+    )
+
+
+def _render_rows(
+    scene: Scene,
+    cam,
+    params: SkyParams,
+    height: int,
+    width: int,
+    frame_id,
+    row0,
+    full_height: int,
+    col0=0,
+    full_width: int | None = None,
+    want_depth: bool = False,
+):
+    """One 1-spp path-traced sample of a ``height``x``width`` tile whose top-left
+    global pixel is (``row0``, ``col0``) of the full frame.
+
+    Returns (color, albedo, normal) [height, width, 3] f32 (NOT accumulated);
+    with ``want_depth`` additionally the primary-hit camera distance [height,
+    width] (DEPTH_CAP where the primary ray escaped) for temporal reprojection.
+    All per-pixel state (seeds, rays) is keyed by GLOBAL pixel coordinates, so the
+    image is bit-identical for any tiling.
+    """
+    state = _init_state(cam, height, width, frame_id, row0, full_height, col0, full_width)
+
+    _first_depth: list = []
+    body, active_of = _make_body(
+        scene, params, depth_sink=_first_depth if want_depth else None
+    )
+
+    def cond(s):
+        return jnp.any(active_of(s)) & (s["it"] < MAX_LOOP_ITERS)
+
     # iteration 0 (first-hit logic: clouds, stars, AOVs, scatter events) runs outside
     # the loop; the loop body compiles lean
-    _first_depth: list = []
     state = body(state, first=True)
     out = jax.lax.while_loop(cond, lambda s: body(s, first=False), state)
 
@@ -1055,6 +1085,7 @@ def render_sample(
     row0=0,
     full_height: int | None = None,
     want_depth: bool = False,
+    compact: bool = False,
 ):
     """One 1-spp path-traced sample of ``height`` rows starting at global row
     ``row0`` of a ``full_height``-row frame (defaults: the full frame).  ``row0``
@@ -1078,6 +1109,13 @@ def render_sample(
     picks ~320-wide tiles for wide frames (measured on the 9x9 scene: 1080p
     5.09 -> 2.55 s/frame, 540p 1.22 -> 0.74) and no column tiling below 960 px.
     """
+    if compact:
+        # full-frame only: the compacted bounce loop partitions frame-globally
+        assert row0 == 0 and (full_height is None or full_height == height)
+        return render_sample_compact(
+            scene, cam, params, height, width, frame_id, tile_rows, tile_cols,
+            want_depth=want_depth,
+        )
     if full_height is None:
         full_height = height
     if tile_cols == "auto":
@@ -1153,6 +1191,183 @@ def render_sample(
     return outs
 
 
+def _first_bounce_rows(scene, cam, params, height, width, frame_id, row0,
+                       full_height, col0, full_width, want_depth, dup_row_cut):
+    """Primary bounce of one tile, returning the full path state (with each lane's
+    global pixel id attached) instead of finishing the path — phase 1 of
+    ``render_sample_compact``.  ``dup_row_cut``: when the frame has a remainder
+    band (rendered as one more full-shaped tile overlapping the previous band),
+    global rows below this cut inside that band are recomputed duplicates; they
+    are marked done with an out-of-range pix so the final scatter drops them."""
+    state = _init_state(cam, height, width, frame_id, row0, full_height, col0, full_width)
+    sink: list = []
+    body, _ = _make_body(scene, params, depth_sink=sink if want_depth else None)
+    st = body(state, first=True)
+    ix = jnp.arange(width, dtype=I32)[None, :] + jnp.asarray(col0, I32)
+    iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
+    pix = iy * I32(full_width) + ix
+    if dup_row_cut is not None:
+        # the remainder band is the unique tile with row0 == full_height − height
+        is_rem = jnp.asarray(row0, I32) == I32(full_height - height)
+        dup = is_rem & (iy < I32(dup_row_cut))
+        pix = jnp.where(dup, I32(full_height * full_width), pix)
+        st["done"] = st["done"] | dup
+        st["needs_first"] = st["needs_first"] & ~dup
+    st["pix"] = pix
+    if want_depth:
+        return st, sink[0]
+    return st
+
+
+def render_sample_compact(
+    scene: Scene,
+    cam,
+    params: SkyParams,
+    height: int,
+    width: int,
+    frame_id,
+    tile_rows: int | str | None = "auto",
+    tile_cols: int | str | None = "auto",
+    seg_lanes: int = 4096,
+    want_depth: bool = False,
+):
+    """One 1-spp sample with RAY COMPACTION between bounces.
+
+    Phase 1 (coherent): the primary bounce runs spatially tiled exactly like
+    ``render_sample`` — same rays, same per-global-pixel seed streams — but each
+    tile returns its full path state instead of finishing the path.
+    Phase 2 (compacted): surviving bounce rays from ALL tiles are stably
+    partitioned actives-first each iteration and re-tiled into ``seg_lanes``-wide
+    segments; one ``body()`` maps over the segments, so a segment holding only
+    finished rays exits its DDA ``while_loop``s immediately and the per-bounce
+    cost tracks the number of SURVIVORS instead of the frame area.  The
+    reference gets this for free from the GPU warp scheduler retiring finished
+    threads; on TPU the repartition must be explicit (VERDICT r1 next-step #2).
+
+    Every ray consumes the identical seed stream as in ``render_sample``, so the
+    two agree to the cross-program-shape tolerance of the tiling tests (XLA
+    fusion reassociation at grazing voxel boundaries — not a different
+    algorithm).  Single-chip only: the partition is frame-global (for the
+    multi-chip path each shard can run its own compacted frame band).
+    """
+    if tile_cols == "auto":
+        tile_cols = None
+        if width >= 960:
+            for c in (320, 384, 256, 480):
+                if width % c == 0:
+                    tile_cols = c
+                    break
+    if tile_rows == "auto":
+        tile_rows = 8 if tile_cols else TILE_ROWS
+    if tile_rows is None or tile_rows > height:
+        tile_rows = height
+    if tile_cols is None or width % tile_cols != 0:
+        tile_cols = width
+
+    n_full = height // tile_rows
+    rem = height - n_full * tile_rows
+    row_offs = [r * tile_rows for r in range(n_full)]
+    if rem:
+        row_offs.append(height - tile_rows)
+    nc = width // tile_cols
+    offs = np.array(
+        [(r, c * tile_cols) for r in row_offs for c in range(nc)], np.int32
+    )
+    dup_row_cut = n_full * tile_rows if rem else None
+
+    def tile(off):
+        return _first_bounce_rows(
+            scene, cam, params, tile_rows, tile_cols, frame_id,
+            off[0], height, off[1], width, want_depth, dup_row_cut,
+        )
+
+    outs = jax.lax.map(tile, jnp.asarray(offs))
+    if want_depth:
+        st, depth_tiles = outs
+    else:
+        st = outs
+
+    tmap = jax.tree_util.tree_map
+    npix = height * width
+    pix0 = st["pix"].reshape(-1)
+
+    def scat3(tup):
+        v = jnp.stack([x.reshape(-1) for x in tup], axis=-1)
+        return (
+            jnp.zeros((npix, 3), F32).at[pix0].set(v, mode="drop")
+            .reshape(height, width, 3)
+        )
+
+    # AOVs are finalized by the first bounce (every lane resolves its first-hit
+    # data in iteration 0) — scatter them to frame layout now; only the radiance
+    # state rides through the compacted bounce loop
+    albedo = scat3(st.pop("albedo"))
+    normal = scat3(st.pop("normal"))
+    if want_depth:
+        depth = (
+            jnp.full((npix,), F32(DEPTH_CAP)).at[pix0]
+            .set(depth_tiles.reshape(-1), mode="drop").reshape(height, width)
+        )
+
+    n_lanes = offs.shape[0] * tile_rows * tile_cols
+    n_segs = -(-n_lanes // seg_lanes)
+    n_pad = n_segs * seg_lanes
+    padn = n_pad - n_lanes
+
+    def flat(a):
+        a = a.reshape((n_lanes,) + a.shape[3:])
+        if padn:
+            a = jnp.pad(a, [(0, padn)] + [(0, 0)] * (a.ndim - 1))
+        return a
+
+    st.pop("it")
+    pix = flat(st.pop("pix"))
+    st = tmap(flat, st)
+    st["it"] = jnp.zeros((n_pad,), I32)
+    # AOV keys must exist for body()'s carry structure; they are dead weight here
+    st["albedo"] = (st["fog_factor"] * 0,) * 3
+    st["normal"] = (st["fog_factor"] * 0,) * 3
+    if padn:
+        pix = pix.at[n_lanes:].set(I32(npix))
+        st["done"] = st["done"].at[n_lanes:].set(True)
+        st["needs_first"] = st["needs_first"].at[n_lanes:].set(False)
+
+    body, active_of = _make_body(scene, params)
+
+    def bounce(carry):
+        it, st, pix = carry
+        # stable partition: actives first, finished rays packed at the tail where
+        # whole segments exit their while_loops after one cond evaluation
+        order = jnp.argsort((~active_of(st)).astype(jnp.int32), stable=True)
+        st = tmap(lambda a: a[order], st)
+        pix = pix[order]
+        segs = tmap(lambda a: a.reshape((n_segs, seg_lanes)), st)
+        out = jax.lax.map(lambda s: body(s, first=False), segs)
+        st = tmap(lambda a: a.reshape((n_pad,) + a.shape[2:]), out)
+        return it + jnp.int32(1), st, pix
+
+    def loop_cond(carry):
+        it, st, _ = carry
+        return jnp.any(active_of(st)) & (it < MAX_LOOP_ITERS)
+
+    _, st, pix = jax.lax.while_loop(loop_cond, bounce, (jnp.int32(1), st, pix))
+
+    pr, pg, pb = st["pixel_color"]
+    fcr, fcg, fcb = st["fog_color"]
+    ff = st["fog_factor"]
+    pr = pr + (fcr - pr) * ff
+    pg = pg + (fcg - pg) * ff
+    pb = pb + (fcb - pb) * ff
+    col = jnp.stack([pr, pg, pb], axis=-1)
+    color = (
+        jnp.zeros((npix, 3), F32).at[pix].set(col, mode="drop")
+        .reshape(height, width, 3)
+    )
+    if want_depth:
+        return color, albedo, normal, depth
+    return color, albedo, normal
+
+
 def accumulate(fbs: FrameBuffers, color, albedo, normal, frame_id) -> FrameBuffers:
     """Running-average accumulation keyed by frame id (raygen:697-709)."""
     fid = jnp.asarray(frame_id, F32)
@@ -1174,11 +1389,13 @@ def render_accumulate(
     frame_id,
     tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
+    compact: bool = False,
 ) -> FrameBuffers:
     """One sample + accumulation as a single program — jit this (donating ``fbs``)
     so a streaming frame costs ONE dispatch instead of two (each dispatch pays a
     host round-trip on linked-TPU backends)."""
     c, a, n = render_sample(
-        scene, cam, params, height, width, frame_id, tile_rows, tile_cols
+        scene, cam, params, height, width, frame_id, tile_rows, tile_cols,
+        compact=compact,
     )
     return accumulate(fbs, c, a, n, frame_id)

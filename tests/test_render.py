@@ -125,6 +125,31 @@ class TestTrace:
                 f"{bad.sum()} divergent pixels at {np.argwhere(bad)[:20]}"
             )
 
+    def test_compact_matches_tiled(self, box_scene):
+        """render_sample_compact (partition-by-aliveness + segmented bounce loop)
+        computes the SAME paths as the spatial-band renderer — every ray consumes
+        the identical per-global-pixel seed stream — so the two agree per AOV to
+        the cross-program-shape contract of the tiling tests (≤0.5% of pixels may
+        flip a discrete traversal decision via fp reassociation).  H=38, tile=4
+        exercises the overlapping remainder band (duplicate-lane dropping) and
+        seg_lanes=512 exercises multi-segment packing + tail padding."""
+        _, scene = box_scene
+        player = camera.Player(pos=np.array([16.0, 150.0, -10.0], np.float32), phi=-0.4)
+        H, W = 38, 64
+        cam = player.camera_params(W, H)
+        params = sky.sky_params(1.0, 0.0)
+        ref = tracer.render_sample(scene, cam, params, H, W, jnp.int32(3),
+                                   tile_rows=4, tile_cols=None, want_depth=True)
+        out = tracer.render_sample_compact(scene, cam, params, H, W, jnp.int32(3),
+                                           tile_rows=4, tile_cols=None,
+                                           seg_lanes=512, want_depth=True)
+        for t, u in zip(out, ref):
+            t, u = np.asarray(t), np.asarray(u)
+            bad = np.abs(t - u).reshape(H, W, -1).max(axis=-1) > 1e-3
+            assert bad.sum() <= H * W * 0.005, (
+                f"{bad.sum()} divergent pixels at {np.argwhere(bad)[:20]}"
+            )
+
     def test_water_interface(self):
         vol = np.zeros((16, 16, 384), np.uint8)
         vol[:, :, :100] = int(Block.STONE)
