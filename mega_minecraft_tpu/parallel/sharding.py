@@ -240,6 +240,7 @@ def sharded_render(
     frame_id,
     tile_rows="auto",
     tile_cols="auto",
+    compact: bool = False,
 ):
     """render_sample with the image rows sharded over the mesh axis via shard_map.
 
@@ -266,7 +267,7 @@ def sharded_render(
         return tracer.render_sample(
             sc, cam_v, params_v, rows_local, width, fid,
             tile_rows=tile_rows, tile_cols=tile_cols,
-            row0=row0, full_height=height,
+            row0=row0, full_height=height, compact=compact,
         )
 
     f = shard_map(

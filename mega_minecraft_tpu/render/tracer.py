@@ -1110,11 +1110,9 @@ def render_sample(
     5.09 -> 2.55 s/frame, 540p 1.22 -> 0.74) and no column tiling below 960 px.
     """
     if compact:
-        # full-frame only: the compacted bounce loop partitions frame-globally
-        assert row0 == 0 and (full_height is None or full_height == height)
         return render_sample_compact(
             scene, cam, params, height, width, frame_id, tile_rows, tile_cols,
-            want_depth=want_depth,
+            want_depth=want_depth, row0=row0, full_height=full_height,
         )
     if full_height is None:
         full_height = height
@@ -1192,25 +1190,31 @@ def render_sample(
 
 
 def _first_bounce_rows(scene, cam, params, height, width, frame_id, row0,
-                       full_height, col0, full_width, want_depth, dup_row_cut):
+                       full_height, col0, full_width, want_depth, dup_row_cut,
+                       row0_local, out_height, out_width):
     """Primary bounce of one tile, returning the full path state (with each lane's
-    global pixel id attached) instead of finishing the path — phase 1 of
-    ``render_sample_compact``.  ``dup_row_cut``: when the frame has a remainder
-    band (rendered as one more full-shaped tile overlapping the previous band),
-    global rows below this cut inside that band are recomputed duplicates; they
-    are marked done with an out-of-range pix so the final scatter drops them."""
+    OUTPUT pixel id attached) instead of finishing the path — phase 1 of
+    ``render_sample_compact``.  Rays/seeds are keyed by GLOBAL pixel (row0/col0 of
+    the full frame); pix indexes the caller's [out_height, out_width] output band
+    (they differ under shard_map, where each device renders one band of the full
+    frame).  ``dup_row_cut``: when the band has a remainder (rendered as one more
+    full-shaped tile overlapping the previous one), local rows below this cut
+    inside that tile are recomputed duplicates; they are marked done with an
+    out-of-range pix so the final scatter drops them."""
     state = _init_state(cam, height, width, frame_id, row0, full_height, col0, full_width)
     sink: list = []
     body, _ = _make_body(scene, params, depth_sink=sink if want_depth else None)
     st = body(state, first=True)
     ix = jnp.arange(width, dtype=I32)[None, :] + jnp.asarray(col0, I32)
-    iy = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0, I32)
-    pix = iy * I32(full_width) + ix
+    iyl = jnp.arange(height, dtype=I32)[:, None] + jnp.asarray(row0_local, I32)
+    # + row0·0: derives pix from the (shard-varying) global row so its shard_map
+    # varying-axes match the permuted pix the bounce loop carries back
+    pix = iyl * I32(out_width) + ix + jnp.asarray(row0, I32) * I32(0)
     if dup_row_cut is not None:
-        # the remainder band is the unique tile with row0 == full_height − height
-        is_rem = jnp.asarray(row0, I32) == I32(full_height - height)
-        dup = is_rem & (iy < I32(dup_row_cut))
-        pix = jnp.where(dup, I32(full_height * full_width), pix)
+        # the remainder tile is the unique one with row0_local == out_height − height
+        is_rem = jnp.asarray(row0_local, I32) == I32(out_height - height)
+        dup = is_rem & (iyl < I32(dup_row_cut))
+        pix = jnp.where(dup, I32(out_height * out_width), pix)
         st["done"] = st["done"] | dup
         st["needs_first"] = st["needs_first"] & ~dup
     st["pix"] = pix
@@ -1230,6 +1234,8 @@ def render_sample_compact(
     tile_cols: int | str | None = "auto",
     seg_lanes: int = 4096,
     want_depth: bool = False,
+    row0=0,
+    full_height: int | None = None,
 ):
     """One 1-spp sample with RAY COMPACTION between bounces.
 
@@ -1247,9 +1253,12 @@ def render_sample_compact(
     Every ray consumes the identical seed stream as in ``render_sample``, so the
     two agree to the cross-program-shape tolerance of the tiling tests (XLA
     fusion reassociation at grazing voxel boundaries — not a different
-    algorithm).  Single-chip only: the partition is frame-global (for the
-    multi-chip path each shard can run its own compacted frame band).
+    algorithm).  ``row0``/``full_height`` (as in render_sample) render a band of
+    a taller frame — under shard_map each device runs its own compacted band,
+    partitioning only its local rays (no collectives).
     """
+    if full_height is None:
+        full_height = height
     if tile_cols == "auto":
         tile_cols = None
         if width >= 960:
@@ -1275,10 +1284,13 @@ def render_sample_compact(
     )
     dup_row_cut = n_full * tile_rows if rem else None
 
+    row0 = jnp.asarray(row0, I32)
+
     def tile(off):
         return _first_bounce_rows(
             scene, cam, params, tile_rows, tile_cols, frame_id,
-            off[0], height, off[1], width, want_depth, dup_row_cut,
+            row0 + off[0], full_height, off[1], width, want_depth, dup_row_cut,
+            off[0], height, width,
         )
 
     outs = jax.lax.map(tile, jnp.asarray(offs))
@@ -1323,7 +1335,8 @@ def render_sample_compact(
     st.pop("it")
     pix = flat(st.pop("pix"))
     st = tmap(flat, st)
-    st["it"] = jnp.zeros((n_pad,), I32)
+    # per-lane iteration counter derived from varying state (see pix note above)
+    st["it"] = st["depth"] * I32(0)
     # AOV keys must exist for body()'s carry structure; they are dead weight here
     st["albedo"] = (st["fog_factor"] * 0,) * 3
     st["normal"] = (st["fog_factor"] * 0,) * 3

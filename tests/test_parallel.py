@@ -74,6 +74,39 @@ class TestShardedRender:
                 np.asarray(s), np.asarray(g), atol=1e-5, rtol=5e-5
             )
 
+    @pytest.mark.slow  # compiles the tracer on XLA:CPU (minutes on a small host)
+    def test_compact_matches_single_device(self, mesh):
+        """The compacted bounce loop under shard_map: each device partitions its
+        OWN band's rays (argsort/scatter are shard-local, no collectives); the
+        assembled frame matches the single-device compacted render to the same
+        cross-compilation tolerance as the band renderer."""
+        from mega_minecraft_tpu.render import brickmap, camera, tracer
+        from mega_minecraft_tpu.render import sky as sky_mod
+        from mega_minecraft_tpu.world.blocks import Block
+
+        vol = np.zeros((1, 1, 16, 16, 384), np.uint8)
+        vol[..., :100] = int(Block.STONE)
+        vol[..., 99:100] = int(Block.GRASS_BLOCK)
+        vol[0, 0, 6:10, 6:10, 100:104] = int(Block.STONE)
+        with jax.default_device(jax.devices("cpu")[0]):
+            scene = brickmap.build_scene(jnp.asarray(vol), 0, 0)
+            H, W = 16, 32
+            player = camera.Player(pos=np.array([8.0, 120.0, -10.0], np.float32), phi=-0.5)
+            cam = player.camera_params(W, H)
+            params = sky_mod.sky_params(1.0, 0.0)
+            single = tracer.render_sample(
+                scene, cam, params, H, W, jnp.int32(3), tile_rows=2, tile_cols=None,
+                compact=True,
+            )
+        shard = sharding.sharded_render(
+            mesh, scene, cam, params, H, W, jnp.int32(3), tile_rows=2, tile_cols=None,
+            compact=True,
+        )
+        for s, g in zip(single, shard):
+            s, g = np.asarray(s), np.asarray(g)
+            bad = (np.abs(s - g) > 1e-3).reshape(H, W, -1).any(axis=-1)
+            assert bad.sum() <= H * W * 0.005, f"{bad.sum()} divergent pixels"
+
 
 class TestDataParallelGeneration:
     def test_matches_unsharded(self, mesh):
