@@ -233,7 +233,10 @@ class Engine:
         """[H, W, 3] uint8 tonemapped (denoised, optionally upscaled) frame."""
         color = self.fbs.color
         if self.cfg.use_denoising:
-            color = denoise.atrous_denoise(color, self.fbs.albedo, self.fbs.normal)
+            nsamp = getattr(self.fbs, "nsamp", None) if self.cfg.use_reprojection else None
+            color = denoise.atrous_denoise(
+                color, self.fbs.albedo, self.fbs.normal, nsamp=nsamp
+            )
         if self.cfg.use_upscaling:
             color = denoise.upscale2x(color)
         return np.asarray(tonemap.present(color))

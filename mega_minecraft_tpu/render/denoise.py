@@ -37,11 +37,20 @@ def atrous_denoise(
     sigma_color: float = 4.0,
     sigma_albedo: float = 0.25,
     sigma_normal: float = 0.35,
+    nsamp=None,
 ):
     """[H, W, 3] HDR color + guides -> denoised color.
 
     Weights: w = B3(tap) * exp(-|Δcolor|²/σc²) * exp(-|Δalbedo|²/σa²) *
     exp(-|Δnormal|²/σn²), accumulated over the 5×5 à-trous pattern with stride 2^i.
+
+    ``nsamp``: optional [H, W] per-pixel accumulated sample count (the temporal
+    framebuffers track it).  The variance of an n-sample mean falls as 1/n, so the
+    color-similarity sigma tightens as σc/√n (SVGF's variance guidance with the
+    analytic estimator): converged pixels keep their detail while fresh
+    disocclusions (n≈1) still blur over.  Streaming frames have wildly mixed n —
+    reprojected history next to just-streamed chunks — which a fixed σc cannot
+    serve at both ends.
     """
     # channels-planar [3, H, W]: the W axis lands on the VPU's 128 lanes; the
     # interleaved [H, W, 3] layout would put 3 there (1/42 utilization) because the
@@ -49,6 +58,10 @@ def atrous_denoise(
     c = jnp.moveaxis(jnp.asarray(color, F32), -1, 0)
     alb = jnp.moveaxis(jnp.asarray(albedo, F32), -1, 0)
     nrm = jnp.moveaxis(jnp.asarray(normal, F32), -1, 0)
+    if nsamp is not None:
+        inv_sc2 = jnp.clip(jnp.asarray(nsamp, F32), 1.0, 64.0) / F32(sigma_color**2)
+    else:
+        inv_sc2 = F32(1.0 / sigma_color**2)
 
     def shiftp(a, dy, dx):
         return jnp.roll(a, (dy, dx), axis=(1, 2))
@@ -68,7 +81,7 @@ def atrous_denoise(
                 da = jnp.sum((als - alb) ** 2, axis=0)
                 dn = jnp.sum((ns - nrm) ** 2, axis=0)
                 w = k * jnp.exp(
-                    -dc / F32(sigma_color**2)
+                    -dc * inv_sc2
                     - da / F32(sigma_albedo**2)
                     - dn / F32(sigma_normal**2)
                 )
