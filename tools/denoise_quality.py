@@ -68,8 +68,13 @@ def measure(scene, player, params, H, W, ref_spp, test_spps):
     for spp, f in checkpoints.items():
         raw = denoise.psnr(f.color, refj)
         den = denoise.psnr(denoise.atrous_denoise(f.color, f.albedo, f.normal), refj)
+        ns = jnp.full(f.color.shape[:2], float(spp), jnp.float32)
+        den_n = denoise.psnr(
+            denoise.atrous_denoise(f.color, f.albedo, f.normal, nsamp=ns), refj
+        )
         out[f"psnr_raw_{spp}spp"] = round(raw, 2)
         out[f"psnr_denoised_{spp}spp"] = round(den, 2)
+        out[f"psnr_denoised_nsamp_{spp}spp"] = round(den_n, 2)
         out[f"seconds_to_{spp}spp"] = round(spp * ms_per_frame / 1e3, 2)
     return out
 
