@@ -1349,9 +1349,20 @@ def render_sample_compact(
 
     def bounce(carry):
         it, st, pix = carry
-        # stable partition: actives first, finished rays packed at the tail where
-        # whole segments exit their while_loops after one cond evaluation
-        order = jnp.argsort((~active_of(st)).astype(jnp.int32), stable=True)
+        # stable partition: actives first — grouped by direction octant so rays
+        # with similar traversal cost share segments (a sky-bound bounce ray
+        # exits in a few clearance-cap skips; a terrain-crawler takes ~100 steps;
+        # mixing them makes every segment pay the crawler) — finished rays packed
+        # at the tail where whole segments exit after one cond evaluation.
+        # Per-lane results are permutation-invariant (seeds ride with the lane).
+        act = active_of(st)
+        ddx, ddy, ddz = st["dir"]
+        octant = (
+            (ddx > 0).astype(jnp.int32)
+            + 2 * (ddy > 0).astype(jnp.int32)
+            + 4 * (ddz > 0).astype(jnp.int32)
+        )
+        order = jnp.argsort(jnp.where(act, octant, jnp.int32(8)), stable=True)
         st = tmap(lambda a: a[order], st)
         pix = pix[order]
         segs = tmap(lambda a: a.reshape((n_segs, seg_lanes)), st)
