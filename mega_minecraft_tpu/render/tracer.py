@@ -1232,7 +1232,7 @@ def render_sample_compact(
     frame_id,
     tile_rows: int | str | None = "auto",
     tile_cols: int | str | None = "auto",
-    seg_lanes: int = 4096,
+    seg_lanes: int = 8192,
     want_depth: bool = False,
     row0=0,
     full_height: int | None = None,
