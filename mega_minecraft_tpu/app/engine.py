@@ -337,6 +337,25 @@ class Engine:
         lz = int(self.player.pos[2] - cz * 16)
         return np.asarray(self.scheduler.t.d_layers[slot, :, lz, lx])
 
+    def debug_force_regather(self) -> dict:
+        """Recompute the player chunk's heightfield from noise and diff it against
+        the streamed slot ('X' key).  The reference re-runs its neighbor gather
+        (terrain.cpp debugForceGatherHeightfield); here the heightfield is a pure
+        function of coordinates, so the meaningful check is regeneration parity —
+        a nonzero diff would mean slot-table corruption."""
+        from ..terrain import heightfield as hf_mod
+
+        cx, cz = self._current_chunk()
+        slot = self.scheduler.slot_for((cx, cz))
+        if slot < 0:
+            return {"chunk": (cx, cz), "slot": -1}
+        fresh, _w = hf_mod.generate_heightfield(
+            jnp.asarray(np.array([[cx * 16, cz * 16]], np.int32))
+        )
+        stored = np.asarray(self.scheduler.t.d_heightfield[slot])
+        diff = float(np.abs(np.asarray(fresh)[0] - stored).max())
+        return {"chunk": (cx, cz), "slot": slot, "regen_max_abs_diff": diff}
+
     def _reset_accumulation(self):
         self.frame_id = 0
         if self.cfg.use_reprojection:

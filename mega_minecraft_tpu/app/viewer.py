@@ -138,6 +138,8 @@ def routed_tick(eng: Engine, state: InputState, dt: float, log=print) -> None:
             log(json.dumps(info))
         elif ev == "l":
             log("column layers: " + np.array2string(eng.debug_column_layers(), precision=1))
+        elif ev == "x":
+            log(json.dumps(eng.debug_force_regather()))
         elif ev == "k":
             p = eng.player.pos
             log(f"player position: ({p[0]:.2f}, {p[1]:.2f}, {p[2]:.2f})")

@@ -33,6 +33,21 @@ class TestControls:
         assert engine.frame_id == 0
 
 
+class TestDebugDumps:
+    def test_force_regather_unloaded(self, engine):
+        """X-key analogue on an unloaded chunk reports slot -1 and no diff."""
+        out = engine.debug_force_regather()
+        assert out["slot"] == -1
+
+    def test_force_regather_streamed_chunk_matches(self, engine):
+        """After streaming the player's chunk, regeneration parity must be exact
+        (the heightfield is a pure function of coordinates)."""
+        engine.scheduler.drain(max_frames=30)
+        out = engine.debug_force_regather()
+        if out["slot"] >= 0:
+            assert out["regen_max_abs_diff"] == 0.0
+
+
 class TestCheckpoint:
     def test_roundtrip(self, engine, tmp_path):
         engine.player.pos = np.array([12.0, 180.0, -4.0], np.float32)
