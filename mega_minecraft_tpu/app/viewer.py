@@ -16,7 +16,7 @@ modifier multipliers reproduce the reference exactly:
   Z                    toggle fly/walk cam mode*             (main.cpp:320-323)
   P                    pause day-night clock                 (main.cpp:383-394)
   [ / ]                sun time −5 s / +5 s                  (main.cpp:433-445)
-  O / V / L            dump chunk / zone / layer state       (main.cpp:396-419)
+  O / V / L / X        dump chunk / zone / layer / regather state (main.cpp:396-418)
   K                    print player position                 (main.cpp:424-431)
   F                    toggle freecam                        (main.cpp:420-423)
 
