@@ -157,7 +157,7 @@ body{margin:0;background:#111;display:flex;align-items:center;justify-content:ce
 img{image-rendering:pixelated;max-width:100vw;max-height:100vh}</style></head><body>
 <img id=v width=%W% height=%H%><script>
 const img=document.getElementById('v');const held=new Set();let dth=0,dph=0,evs=[];
-const ONESHOT=new Set(['p','o','v','l','k','f','[',']','escape']);
+const ONESHOT=new Set(['p','o','v','l','x','k','f','[',']','escape']);
 function key(e,down){let k=e.key.toLowerCase();
  if(k==='shift'||k==='alt'){e.preventDefault();}
  if(down&&ONESHOT.has(k)){evs.push(k);}
