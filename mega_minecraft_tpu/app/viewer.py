@@ -296,7 +296,7 @@ def run_terminal_viewer(cfg: EngineConfig, cols: int = 100, max_frames: int | No
                     state.d_theta += ARROW_STEP
                 elif ch == "l":
                     state.d_theta -= ARROW_STEP
-                elif ch in "povf[]":
+                elif ch in "povxf[]":
                     events.append(ch)
             state.held = held
             state.events.extend(events)
