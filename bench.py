@@ -41,6 +41,42 @@ def _mark(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def _probe_device(timeout_s: float):
+    """Fail fast with a valid JSON line if the device never answers.
+
+    A wedged axon tunnel blocks the FIRST dispatch inside C code forever — the
+    leg-level budget checks can't fire because control never returns.  Probe on
+    a daemon thread and hard-exit with an error line if it doesn't come back."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        x = jnp.ones((8, 128)) * 2
+        if float(x.sum()) == 2048.0:
+            ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(
+            json.dumps(
+                {
+                    "metric": "chunks/sec generated (ALL stages incl. features+decorators, erosion amortized; 5x5 zone, warm)",
+                    "value": 0.0,
+                    "unit": "chunks/s",
+                    "vs_baseline": 0.0,
+                    "extra": {
+                        "error": f"device probe did not answer within {timeout_s:.0f}s (TPU tunnel wedged?)"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+
 def bench_generation():
     from mega_minecraft_tpu.terrain import pipeline
 
@@ -162,6 +198,7 @@ def bench_render():
 
 
 def main():
+    _probe_device(float(os.environ.get("MMTPU_BENCH_PROBE_TIMEOUT_S", "300")))
     _mark("generation leg...")
     n_chunks, dt_full, dt_base = bench_generation()
     extra = {
