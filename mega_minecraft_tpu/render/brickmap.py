@@ -168,13 +168,20 @@ def _encode(vol_i32, solid, cap: int = DIST_CAP, init_dist=None, init_up=None,
     # bit 31: this solid voxel's diffuse tile has zero-alpha texels (X-shaped
     # flora / leaf holes) — the tracer's in-march anyhit equivalent only runs
     # its texel gathers on iterations where some lane probes a flagged voxel
-    from .materials import ALPHA_TESTED
+    from .materials import ALPHA_T_FRAC, ALPHA_TESTED
 
     flag = solid & jnp.asarray(ALPHA_TESTED)[vol_i32]
     word = (
         low | (up << I32(8)) | (c2 << I32(14)) | (c8 << I32(20)) | (q << I32(26))
     ).astype(jnp.uint32)
     word = word | (flag.astype(jnp.uint32) << jnp.uint32(31))
+    # bits 8-15 of flagged SOLID voxels: the block's transparent-texel fraction
+    # (u8), read by the tracer's stochastic alpha mode.  Solid voxels have all
+    # clearances ≡ 0 (they are their own nearest solid), so these bits are free;
+    # the update path's init-bound reads ignore them at solids (chebyshev seeds
+    # with d=0 where solid, q is clipped to 0 there).
+    t_frac = jnp.asarray(ALPHA_T_FRAC).astype(jnp.uint32)[vol_i32]
+    word = word | jnp.where(flag, t_frac << jnp.uint32(8), jnp.uint32(0))
     return jax.lax.bitcast_convert_type(word, I32)
 
 

@@ -375,6 +375,26 @@ from ..world.blocks import RENDER_SOLID as _RENDER_SOLID_NP  # noqa: E402
 _alpha_bits = (TEX_DIFF_PACKED.reshape(NUM_BLOCKS, -1) >> np.uint32(24)) & np.uint32(1)
 ALPHA_TESTED = (_alpha_bits == 0).any(axis=1) & _RENDER_SOLID_NP.astype(bool)
 
+#: [NUM_BLOCKS] u8 — transparent texel fraction of each flagged block's diffuse
+#: tiles, quantized to 0-255.  X-shaped blocks use their side tile (the only one
+#: their crossed quads sample); full blocks average all 3 faces × 8 variants.
+#: Stored into field bits 8-15 of flagged SOLID voxels (whose clearance bits are
+#: all zero by construction) so the tracer's STOCHASTIC alpha mode — bounce and
+#: shadow rays pass through a flagged voxel with this probability instead of
+#: parking for an exact texel test — needs no extra gather (see tracer.trace).
+from ..world.blocks import X_SHAPED_HI as _XHI, X_SHAPED_LO as _XLO  # noqa: E402
+
+_alpha_by_face = _alpha_bits.reshape(NUM_BLOCKS, 3, 8 * 256)
+_frac_all = 1.0 - _alpha_by_face.reshape(NUM_BLOCKS, -1).mean(axis=1)
+_frac_side = 1.0 - _alpha_by_face[:, 0].mean(axis=1)
+_is_x_blk = np.zeros(NUM_BLOCKS, bool)
+_is_x_blk[_XLO:_XHI] = True
+ALPHA_T_FRAC = np.where(
+    ALPHA_TESTED,
+    np.clip(np.round(np.where(_is_x_blk, _frac_side, _frac_all) * 255.0), 0, 255),
+    0,
+).astype(np.uint8)
+
 
 def unpack_diffuse_texel(t_u32):
     """TEX_DIFF word -> (r, g, b in [0,1], alpha bool, emissive w in [0,1])."""

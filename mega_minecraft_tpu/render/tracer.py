@@ -89,7 +89,7 @@ class TraceResult(NamedTuple):
 
 
 def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRACE_STEPS,
-          active=None):
+          active=None, want_steps: bool = False, alpha: str = "exact", seed=None):
     """Distance-field DDA from (o, d) in world space: ONE u8 gather per step; empty
     space is skipped by the Chebyshev distance stored in the field (brickmap.py).
     medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
@@ -98,7 +98,26 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     ``active``: optional bool mask — lanes outside it never march, so the
     ``jnp.any(alive)`` loop bound is set by the worst lane that MATTERS, not by a
     stale parked ray whose result the caller would mask off anyway (done lanes in
-    a bounce iteration, non-NEE lanes in a shadow trace)."""
+    a bounce iteration, non-NEE lanes in a shadow trace).
+
+    ``alpha``: cutout policy for alpha-flagged voxels (field bit 31).
+      "exact" — park-and-resolve: the march parks on the voxel and a resolve
+        pass between marches alpha-tests the actual texel (the reference's
+        anyhit, basic_shaders.cu:1022-1068).  Used for PRIMARY rays, where
+        cutout silhouettes are directly visible.
+      "stochastic" — the lane passes through the voxel with probability equal
+        to its tile's transparent-texel fraction (field bits 8-15, stashed by
+        brickmap._encode) and otherwise hits it as opaque; zero extra gathers
+        and NO outer park/resolve rounds.  Used for bounce and shadow rays:
+        under a forest canopy every secondary ray crosses flagged leaf voxels,
+        and exact parking there serializes the whole tile's march into dozens
+        of park rounds (measured 6× frame cost on the 9×9 scene with the real
+        atlases); the stochastic estimator is unbiased in expectation and its
+        noise is absorbed by the same accumulation that integrates the path
+        tracer's other dimensions.  Requires ``seed`` (per-lane u32); each
+        (lane, voxel) decision re-hashes the seed with the voxel coords, so
+        decisions decorrelate across bounces and frames without consuming the
+        lane's seed stream."""
     zdim, xdim, ydim = scene.field.shape
     orig = scene.origin.astype(F32)  # world (x, y, z) of volume corner
 
@@ -147,7 +166,8 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     inv_maxc = F32(1.0) / jnp.maximum(h_inf, jnp.abs(dy))
 
     def body(state):
-        t, alive, hit, hit_block, hit_x, x_use_a, pending, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step = state
+        lane_steps = lane_steps + alive.astype(I32)
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
@@ -157,13 +177,18 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
 
         packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (i32) gather
         val = packed & I32(0xFF)
-        # direction-matched clearances (brickmap.py encoding): at-or-above for
-        # non-descending rays; slab-2/slab-8 + skyline descent for descending rays
-        up_b = ((packed >> I32(8)) & I32(0x3F)).astype(F32)
-        c2_b = ((packed >> I32(14)) & I32(0x3F)).astype(F32)
-        c8_b = ((packed >> I32(20)) & I32(0x3F)).astype(F32)
-        sky_q = ((packed >> I32(26)) & I32(0x1F)).astype(F32)  # bit 31 = alpha flag
         is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
+        # direction-matched clearances (brickmap.py encoding): at-or-above for
+        # non-descending rays; slab-2/slab-8 + skyline descent for descending rays.
+        # Solid voxels store a transparent-fraction byte in bits 8-15 (their
+        # clearances are all 0 by construction), so mask the reads to 0 there —
+        # only a stochastically-passed-through lane ever advances FROM a solid
+        # voxel, and it must take the exact cell-exit step, not a bogus skip.
+        nsol = (~is_solid).astype(F32)
+        up_b = ((packed >> I32(8)) & I32(0x3F)).astype(F32) * nsol
+        c2_b = ((packed >> I32(14)) & I32(0x3F)).astype(F32) * nsol
+        c8_b = ((packed >> I32(20)) & I32(0x3F)).astype(F32) * nsol
+        sky_q = ((packed >> I32(26)) & I32(0x1F)).astype(F32) * nsol  # bit 31 = alpha flag
         is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
 
         # cell exit param (needed by both the X-quad test and the advance)
@@ -198,23 +223,37 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         # ---- alpha cutout (the anyhit equivalent, basic_shaders.cu:1022-1052):
         # field bit 31 marks solids whose diffuse tile has zero-alpha texels
         # (X flora + leaf holes with the real atlas; never set for the solid
-        # procedural fallback).  The march does NO texel work for them — it
-        # PARKS the lane on the voxel (pending=True, t unmoved) and the resolve
-        # phase between marches does the texel gathers once per parked voxel,
-        # reviving lanes whose texel was transparent.  This keeps the march at
-        # its one-gather-per-step floor on every scene.  (Two rejected designs,
-        # both measured: a tile-scalar lax.cond around in-march texel gathers
-        # made XLA:TPU re-materialize the captured 3.4 MB atlas inside the loop
-        # — a ~25× frame-time regression even with zero flagged voxels; and
-        # unconditional masked-index gathers tripled the march's gather count.)
-        pend_new = candidate & (packed < I32(0))
+        # procedural fallback).  "exact" mode does NO texel work in the march —
+        # it PARKS the lane on the voxel (pending=True, t unmoved) and the
+        # resolve phase between marches does the texel gathers once per parked
+        # voxel, reviving lanes whose texel was transparent.  This keeps the
+        # march at its one-gather-per-step floor on every scene.  (Two rejected
+        # designs, both measured: a tile-scalar lax.cond around in-march texel
+        # gathers made XLA:TPU re-materialize the captured 3.4 MB atlas inside
+        # the loop — a ~25× frame-time regression even with zero flagged
+        # voxels; and unconditional masked-index gathers tripled the march's
+        # gather count.)  "stochastic" mode never parks — see the docstring.
+        flagged = candidate & (packed < I32(0))
+        if alpha == "stochastic":
+            pend_new = flagged & False
+            t_frac = ((packed >> I32(8)) & I32(0xFF)).astype(F32) * F32(1.0 / 255.0)
+            hsh = (
+                vx * I32(-1640531535) ^ (vy * I32(-2048144777) + vz * I32(-1028477379))
+            ) ^ seed.astype(I32)
+            r_a, _ = hashes.rnd(hsh)
+            # transparent roll: the lane passes through (stays alive; solid
+            # voxels have zero clearances so its advance is the exact cell exit)
+            opaque_roll = ~flagged | (r_a >= t_frac)
+        else:
+            pend_new = flagged
+            opaque_roll = True
 
         # unflagged X flora (procedural-atlas fallback): pure geometric quads
         t_q = jnp.where(ok_a & (~ok_b | (t_a <= t_b)), t_a, t_b)
         quad_ok = ok_a | ok_b
         use_a = ok_a & (~ok_b | (t_a <= t_b))
 
-        new_hit = candidate & ~pend_new & jnp.where(is_x, quad_ok, True)
+        new_hit = candidate & ~pend_new & jnp.where(is_x, quad_ok, True) & opaque_roll
         new_x = new_hit & is_x
         hit_block = jnp.where(
             new_hit & is_solid, val.astype(U8), jnp.where(new_hit, U8(AIR), hit_block)
@@ -251,7 +290,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
         t = jnp.where(alive, t_next, t)
         alive = alive & (t < t_out)
-        return t, alive, hit, hit_block, hit_x, x_use_a, pending, step + 1
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step + 1
 
     def cond(state):
         alive = state[1]
@@ -263,7 +302,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         or revive the march past the voxel.  Runs BETWEEN marches, so its three
         gathers (field word + two texels) cost once per parked voxel, not per
         DDA step."""
-        t, alive, hit, hit_block, hit_x, x_use_a, pending, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
@@ -349,7 +388,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t = jnp.where(revived, t_next, t)
         alive = alive | (revived & (t < t_out))
         pending = pending & False
-        return t, alive, hit, hit_block, hit_x, x_use_a, pending, step
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step
 
     def outer_body(state):
         state = jax.lax.while_loop(cond, body, state)
@@ -367,16 +406,23 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         false0,
         false0,
         false0,
+        false0.astype(I32),
         jnp.zeros((), I32),
     )
-    # nested march/resolve: the inner while_loop marches until every lane hit,
-    # died, or parked on an alpha-flagged voxel; resolve() then alpha-tests the
-    # parked lanes in one go and revives the transparent ones, and the outer
-    # loop re-enters the march for the survivors.  On scenes with no flagged
-    # voxels the outer loop runs exactly once.
-    t, _, hit, hit_block, hit_x, x_use_a, _, _ = jax.lax.while_loop(
-        cond, outer_body, init
-    )
+    # nested march/resolve ("exact"): the inner while_loop marches until every
+    # lane hit, died, or parked on an alpha-flagged voxel; resolve() then
+    # alpha-tests the parked lanes in one go and revives the transparent ones,
+    # and the outer loop re-enters the march for the survivors.  On scenes with
+    # no flagged voxels the outer loop runs exactly once.  "stochastic" never
+    # parks, so it is ONE plain march with no resolve pass at all (and the
+    # texel atlas is never captured into the program).
+    if alpha == "stochastic":
+        if seed is None:
+            raise ValueError("alpha='stochastic' requires a per-lane seed")
+        final = jax.lax.while_loop(cond, body, init)
+    else:
+        final = jax.lax.while_loop(cond, outer_body, init)
+    t, _, hit, hit_block, hit_x, x_use_a, _, lane_steps, _ = final
 
     # hit voxel + entry-face normal
     px = ox + dx * t
@@ -412,7 +458,12 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     ny = jnp.where(exit_iface, -ny, ny)
     nz = jnp.where(exit_iface, -nz, nz)
 
-    return TraceResult(hit=hit, t=t_hit, block=hit_block, nx=nx, ny=ny, nz=nz)
+    res = TraceResult(hit=hit, t=t_hit, block=hit_block, nx=nx, ny=ny, nz=nz)
+    if want_steps:
+        # per-lane DDA iteration count (profiling/diagnostics: one gather per step
+        # is the traversal cost model, so this IS the per-ray cost in gathers)
+        return res, lane_steps
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -602,10 +653,17 @@ def _make_body(scene, params, depth_sink=None):
         # varying axes match the loop output (a bare zeros literal is unvarying)
         needs_first = s["needs_first"] if first else s["needs_first"] & False
 
+        # primary rays get exact alpha cutout (their silhouettes are directly
+        # visible); bounce rays use the stochastic estimator (see trace()) —
+        # their noise is integrated by accumulation like every other sampled
+        # path dimension, and exact parking under canopies measured ~6× frame
+        # cost on the forested 9×9 scene
         res = trace(
             scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
             max_steps=MAX_TRACE_STEPS if first else BOUNCE_TRACE_STEPS,
             active=active,
+            alpha="exact" if first else "stochastic",
+            seed=None if first else seed,
         )
         if first and depth_sink is not None:
             # primary-hit camera distance (res.t is 1e20 on miss), for temporal
@@ -896,9 +954,14 @@ def _make_body(scene, params, depth_sink=None):
         is_sun = r_sun < sun_chance
         sdx, sdy, sdz = _sample_star(params, is_sun, scattered, x1, x2)
         spx = tuple(jnp.where(scattered, sp, p) for sp, p in zip(scatter_pos, (new_px, new_py, new_pz)))
+        # shadow rays always use stochastic alpha (canopy-dappled shadows are
+        # a transmittance estimate; noise converges under accumulation).  Salt
+        # the seed so the shadow roll decorrelates from the same voxel's
+        # radiance-ray roll.
         sres = trace(
             scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full_like(s["medium"], U8(AIR)),
             max_steps=SHADOW_TRACE_STEPS, active=nee,
+            alpha="stochastic", seed=seed ^ jnp.uint32(0x5BD1E995),
         )
         shadow_miss = ~sres.hit
         # doFog's getSkyColor runs with needsFirstHitData already false -> disks yes,

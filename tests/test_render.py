@@ -495,3 +495,105 @@ class TestAlphaCutout:
         assert not bool(shoot(tu_hole, tv_hole).hit[0])
         res = shoot(tu_hit, tv_hit)
         assert bool(res.hit[0]) and int(res.block[0]) == b
+
+
+class TestStochasticAlpha:
+    """trace(alpha="stochastic"): bounce/shadow rays pass through alpha-flagged
+    voxels with probability = the tile's transparent fraction (field bits 8-15,
+    brickmap._encode) instead of parking for an exact texel test."""
+
+    pytestmark = pytest.mark.skipif(
+        not __import__(
+            "mega_minecraft_tpu.render.materials", fromlist=["HAS_REAL_ATLAS"]
+        ).HAS_REAL_ATLAS,
+        reason="needs the real texture atlas",
+    )
+
+    def _leaf_slab_scene(self, leaf, layers=4):
+        vol = np.zeros((16, 16, 384), np.uint8)
+        vol[:, :, :50] = int(Block.STONE)
+        vol[:, :, 100 : 100 + layers] = leaf
+        chunks = vol.reshape(1, 16, 1, 16, 384).transpose(0, 2, 1, 3, 4)
+        return brickmap.build_scene(jnp.asarray(chunks), 0, 0)
+
+    def test_transmission_matches_fraction(self):
+        from mega_minecraft_tpu.render.materials import ALPHA_T_FRAC
+        from mega_minecraft_tpu.world.blocks import X_SHAPED_HI, X_SHAPED_LO
+
+        nz = np.nonzero(ALPHA_T_FRAC)[0]
+        leaf = int(
+            next(b for b in nz if not (X_SHAPED_LO <= b < X_SHAPED_HI))
+        )
+        layers = 4
+        scene = self._leaf_slab_scene(leaf, layers)
+        T = ALPHA_T_FRAC[leaf] / 255.0
+
+        H = W = 64
+        ox = jnp.full((H, W), 8.0)
+        oy = jnp.full((H, W), 150.0)
+        oz = jnp.full((H, W), 8.0)
+        dx = jnp.zeros((H, W))
+        dy = jnp.full((H, W), -1.0)
+        dz = jnp.zeros((H, W))
+        med = jnp.zeros((H, W), jnp.uint8)
+        seed = (
+            jnp.arange(H * W, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        ).reshape(H, W)
+        res = tracer.trace(
+            scene, ox, oy, oz, dx, dy, dz, med, alpha="stochastic", seed=seed
+        )
+        blocks = np.asarray(res.block)
+        through = (blocks == int(Block.STONE)).mean()
+        expect = T**layers
+        # 4096 Bernoulli trials: generous 5-sigma band
+        tol = 5 * np.sqrt(expect * (1 - expect) / (H * W)) + 1e-3
+        assert abs(through - expect) < tol, (through, expect, tol)
+        # all rays resolve (hit the slab or the floor)
+        assert bool(res.hit.all())
+
+    def test_seed_required(self):
+        scene = self._leaf_slab_scene(int(Block.STONE))
+        one = jnp.ones((2, 2))
+        with pytest.raises(ValueError):
+            tracer.trace(
+                scene, one * 8, one * 150, one * 8, one * 0, -one, one * 0,
+                jnp.zeros((2, 2), jnp.uint8), alpha="stochastic",
+            )
+
+    def test_solid_voxel_skips_masked(self):
+        """A stochastically passed-through lane advancing FROM a flagged solid
+        voxel must take the exact cell exit, never a clearance skip read from
+        the transparent-fraction byte: marching straight down through a slab
+        whose T byte is large must still stop at the floor, not tunnel past."""
+        from mega_minecraft_tpu.render.materials import ALPHA_T_FRAC
+        from mega_minecraft_tpu.world.blocks import X_SHAPED_HI, X_SHAPED_LO
+
+        nz = np.nonzero(ALPHA_T_FRAC)[0]
+        leaf = int(
+            max(
+                (b for b in nz if not (X_SHAPED_LO <= b < X_SHAPED_HI)),
+                key=lambda b: ALPHA_T_FRAC[b],
+            )
+        )
+        scene = self._leaf_slab_scene(leaf, 8)
+        H = W = 32
+        ox = jnp.full((H, W), 8.0)
+        oy = jnp.full((H, W), 150.0)
+        oz = jnp.full((H, W), 8.0)
+        seed = (
+            jnp.arange(H * W, dtype=jnp.uint32) * jnp.uint32(747796405)
+        ).reshape(H, W)
+        res = tracer.trace(
+            scene, ox, oy, oz, jnp.zeros((H, W)), jnp.full((H, W), -1.0),
+            jnp.zeros((H, W)), jnp.zeros((H, W), jnp.uint8),
+            alpha="stochastic", seed=seed,
+        )
+        blocks = np.asarray(res.block)
+        t = np.asarray(res.t)
+        # every lane stops at a leaf voxel or exactly on the floor (t = 100):
+        # nothing lands inside the slab's air gaps or below the floor top
+        assert bool(res.hit.all())
+        floor = blocks == int(Block.STONE)
+        assert np.allclose(t[floor], 100.0, atol=0.01)
+        leaf_hit = blocks == leaf
+        assert ((t[leaf_hit] >= 41.9) & (t[leaf_hit] <= 50.1)).all()
