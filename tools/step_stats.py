@@ -9,8 +9,11 @@ Run alone (ONE TPU process at a time):  python tools/step_stats.py [--res 480x27
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
