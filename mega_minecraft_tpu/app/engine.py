@@ -57,6 +57,22 @@ class EngineConfig:
     # (tracer.render_sample_compact); opt-in until measured faster on-chip
     native_scheduler: bool | None = None  # None = use the C++ core when available
 
+    @classmethod
+    def from_config(cls, cfg=None) -> "EngineConfig":
+        """Engine settings from the config tree (config.load_config): defaults <-
+        MMTPU_* environment <- the passed Config."""
+        from .. import config as config_mod
+
+        cfg = cfg or config_mod.load_config()
+        return cls(
+            width=cfg.render.width,
+            height=cfg.render.height,
+            capacity=cfg.terrain.capacity,
+            skip_erosion=cfg.terrain.skip_erosion,
+            use_denoising=cfg.render.use_denoising,
+            use_upscaling=cfg.render.use_upscaling,
+        )
+
 
 class Engine:
     """Streams terrain around the player and renders accumulated path-traced frames."""
@@ -81,11 +97,8 @@ class Engine:
         half = n // 2
         self.window_origin = (-half, -half)  # chunk coords of scene corner
         side = n * 16
-        self.scene = brickmap.Scene(
-            field=jnp.full((side, side, 384), brickmap.empty_field_word(), jnp.int32),
-            origin=jnp.asarray(
-                np.array([self.window_origin[0] * 16, 0, self.window_origin[1] * 16], np.int32)
-            ),
+        self.scene = brickmap.empty_scene(
+            side, self.window_origin[0], self.window_origin[1]
         )
         self.time = 0.0
         self.sun_time = self.cfg.sun_time0

@@ -261,9 +261,9 @@ def sharded_render(
         raise ValueError(f"height {height} must divide by mesh size {n}")
     rows_local = height // n
 
-    def shard_fn(field, origin, cam_v, params_v, fid):
+    def shard_fn(flat, origin, cam_v, params_v, fid):
         row0 = jax.lax.axis_index(axis) * rows_local
-        sc = type(scene)(field=field, origin=origin)
+        sc = type(scene)(flat, origin, scene.dims)
         return tracer.render_sample(
             sc, cam_v, params_v, rows_local, width, fid,
             tile_rows=tile_rows, tile_cols=tile_cols,
@@ -278,4 +278,4 @@ def sharded_render(
     )
     fid = jnp.asarray(frame_id, jnp.int32)
     with jax.default_device(mesh.devices.flat[0]):
-        return jax.jit(f)(scene.field, scene.origin, cam, params, fid)
+        return jax.jit(f)(scene.flat, scene.origin, cam, params, fid)

@@ -34,7 +34,7 @@ import numpy as np
 from ..ops import hashes
 from ..world.blocks import Block, X_SHAPED_HI, X_SHAPED_LO
 from . import sky as sky_mod
-from .brickmap import EMPTY_BASE, SKY_R, Scene
+from .brickmap import EMPTY_BASE, MACRO_SCALE, SKY_R, Scene
 from .materials import (
     BLOCK_PROPS,
     MAT_IOR,
@@ -54,16 +54,24 @@ F32 = jnp.float32
 I32 = jnp.int32
 U8 = jnp.uint8
 
-MAX_RAY_DEPTH = 4
-MAX_LOOP_ITERS = 7  # depth 4 + specular extensions
-MAX_TRACE_STEPS = 320
+# module defaults from the config tree (config.py replaces the reference's
+# #defines); env-overridable before import via MMTPU_RENDER_* — and the trace
+# entry points additionally take per-call overrides (``exact=``)
+from ..config import load_config as _load_config  # noqa: E402
+
+_RCFG = _load_config().render
+MAX_RAY_DEPTH = _RCFG.max_ray_depth
+MAX_LOOP_ITERS = MAX_RAY_DEPTH + 3  # + specular extensions
+MAX_TRACE_STEPS = _RCFG.max_trace_steps
 # secondary/shadow rays carry RR/albedo-attenuated weight — a straggler ray
 # stepping hundreds of cells holds the whole lock-stepped frame hostage for
 # contribution below perceptual relevance, so their marches are capped tighter
 # (unresolved lanes report miss → sky/fog)
-BOUNCE_TRACE_STEPS = 96
-SHADOW_TRACE_STEPS = 64
-FOG_SCATTER = -0.005
+BOUNCE_TRACE_STEPS = _RCFG.bounce_trace_steps
+SHADOW_TRACE_STEPS = _RCFG.shadow_trace_steps
+#: exact-reference trace mode default (see config.RenderConfig.exact_trace)
+EXACT_TRACE = _RCFG.exact_trace
+FOG_SCATTER = _RCFG.fog_scatter
 # rays are terminated once their horizontal travel saturates the fog
 # (smoothstep(220, 300) -> 1, basic_shaders.cu fogFactor); bounds the straggler
 # tail that otherwise dominates the lock-stepped DDA loop
@@ -117,8 +125,21 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         tracer's other dimensions.  Requires ``seed`` (per-lane u32); each
         (lane, voxel) decision re-hashes the seed with the voxel coords, so
         decisions decorrelate across bounces and frames without consuming the
-        lane's seed stream."""
-    zdim, xdim, ydim = scene.field.shape
+        lane's seed stream.
+
+    Two-level traversal: each lane carries a coarse/fine level bit.  Fine lanes
+    whose directional clearance saturates its 63 cap ASCEND to the macro field
+    (same encoding at 1/MACRO_SCALE³ resolution, brickmap.MACRO_SCALE), where
+    every skip formula applies scaled by MACRO_SCALE — extending the skip range
+    to 63·MACRO_SCALE blocks.  A coarse lane entering an occupied macro cell
+    DESCENDS (level flips, t unchanged) and resolves the surface at fine
+    resolution; hits only ever happen at the fine level.  Both levels gather
+    from ONE concatenated flat table, so the march keeps its
+    one-gather-per-step cost floor."""
+    zdim, xdim, ydim = scene.dims
+    MS = MACRO_SCALE
+    zm, xm, ym = zdim // MS, xdim // MS, ydim // MS
+    macro_off = zdim * xdim * ydim
     orig = scene.origin.astype(F32)  # world (x, y, z) of volume corner
 
     inv = lambda d: jnp.where(jnp.abs(d) < F32(1e-12), F32(1e12) * jnp.sign(d) + F32(1e12) * (d == 0), F32(1.0) / d)
@@ -150,7 +171,10 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     horiz = jnp.sqrt(dx * dx + dz * dz)
     t_out = jnp.minimum(t_out, t_start + F32(FOG_FULL_DIST) / jnp.maximum(horiz, F32(1e-3)))
 
-    flat_field = scene.field.reshape(-1)
+    # fine ++ macro in one flat gather table, concatenated ONCE at scene
+    # build/update (Scene.flat) — an in-trace concat gets rematerialized inside
+    # the DDA while_loop by XLA (measured 112 s/frame at 540p)
+    flat_field = scene.flat
     med_i32 = medium.astype(I32)
     is_air_medium = med_i32 == I32(AIR)
     empty_base = I32(EMPTY_BASE)
@@ -166,7 +190,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     inv_maxc = F32(1.0) / jnp.maximum(h_inf, jnp.abs(dy))
 
     def body(state):
-        t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step = state
         lane_steps = lane_steps + alive.astype(I32)
         px = ox + dx * t
         py = oy + dy * t
@@ -175,9 +199,15 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
         vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
 
-        packed = flat_field[(vz * xdim + vx) * ydim + vy]  # the ONE (i32) gather
+        fine_idx = (vz * xdim + vx) * ydim + vy
+        mac_idx = I32(macro_off) + ((vz // MS) * xm + vx // MS) * ym + vy // MS
+        packed = flat_field[jnp.where(coarse, mac_idx, fine_idx)]  # the ONE gather
         val = packed & I32(0xFF)
-        is_solid = val < empty_base  # value 0 never occurs: empty stores >= EMPTY_BASE
+        # fine: block id if solid; macro: 0 if the cell contains any solid
+        is_solid = val < empty_base  # fine empty stores >= EMPTY_BASE
+        # coarse lane on an occupied macro cell: DESCEND — flip to fine without
+        # advancing; the next iteration resolves the cell's interior exactly
+        descend = coarse & is_solid
         # direction-matched clearances (brickmap.py encoding): at-or-above for
         # non-descending rays; slab-2/slab-8 + skyline descent for descending rays.
         # Solid voxels store a transparent-fraction byte in bits 8-15 (their
@@ -191,10 +221,15 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         sky_q = ((packed >> I32(26)) & I32(0x1F)).astype(F32) * nsol  # bit 31 = alpha flag
         is_x = (val >= I32(X_SHAPED_LO)) & (val < I32(X_SHAPED_HI))
 
-        # cell exit param (needed by both the X-quad test and the advance)
-        bx = jnp.where(dx > 0, vx.astype(F32) + orig[0] + 1, vx.astype(F32) + orig[0])
-        by = jnp.where(dy > 0, vy.astype(F32) + orig[1] + 1, vy.astype(F32) + orig[1])
-        bz = jnp.where(dz > 0, vz.astype(F32) + orig[2] + 1, vz.astype(F32) + orig[2])
+        # cell exit param (needed by both the X-quad test and the advance);
+        # coarse lanes exit their MACRO_SCALE-aligned macro cell instead
+        cellx = jnp.where(coarse, vx // MS * MS, vx).astype(F32)
+        celly = jnp.where(coarse, vy // MS * MS, vy).astype(F32)
+        cellz = jnp.where(coarse, vz // MS * MS, vz).astype(F32)
+        csz = jnp.where(coarse, F32(MS), F32(1.0))
+        bx = jnp.where(dx > 0, cellx + orig[0] + csz, cellx + orig[0])
+        by = jnp.where(dy > 0, celly + orig[1] + csz, celly + orig[1])
+        bz = jnp.where(dz > 0, cellz + orig[2] + csz, cellz + orig[2])
         # axis-parallel rays never exit through that axis (a degenerate boundary term
         # would otherwise clamp t_exit to ~0 and stall the march)
         big = F32(3e38)
@@ -204,8 +239,9 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t_exit = jnp.minimum(jnp.minimum(tex, tey), tez)
 
         # hit rule: in air, any solid; in a dense medium, anything that is not the
-        # medium itself — the first non-medium voxel (air included) is the interface
-        candidate = alive & jnp.where(is_air_medium, is_solid, val != med_i32)
+        # medium itself — the first non-medium voxel (air included) is the interface.
+        # Hits only ever happen at the FINE level (coarse lanes descend first).
+        candidate = alive & ~coarse & jnp.where(is_air_medium, is_solid, val != med_i32)
 
         # X-shaped flora: intersect the two crossed diagonal quads of the voxel
         # (reference draws crossed cutout quads, chunk.cu:1901-1935; the geometric
@@ -285,12 +321,23 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
             F32(SKY_R) * inv_h, (F32(4.0) * sky_q - F32(1.0)) * inv_dy_abs
         )
         skip_dir = jnp.where(ascending, s_up, jnp.maximum(jnp.maximum(s2, s8), s_sky))
-        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_dir), F32(0.0))
+        # at the macro level every skip formula holds scaled by MACRO_SCALE: a
+        # clearance of c macro cells proves a fine L∞ move of MS·(c−1) blocks
+        # from any position inside the current cell (see brickmap.MACRO_SCALE)
+        scale = jnp.where(coarse, F32(MS), F32(1.0))
+        skip = jnp.where(is_air_medium, jnp.maximum(skip3d, skip_dir), F32(0.0)) * scale
         t_next = jnp.maximum(t + jnp.maximum(skip, 0.0), t_exit)
         t_next = jnp.maximum(t_next, t) * (F32(1.0) + F32(1e-5)) + F32(1e-4)
-        t = jnp.where(alive, t_next, t)
+        t = jnp.where(alive & ~descend, t_next, t)
+        # ASCEND when the direction-relevant fine clearance saturates its 63 cap —
+        # the macro level exists precisely to extend that cap (clearance bytes are
+        # nsol-masked to 0 on solid voxels, so sat never fires there)
+        sat = jnp.where(
+            ascending, up_b >= F32(63.0), (c8_b >= F32(63.0)) | (sky_q >= F32(8.0))
+        )
+        coarse = (coarse & ~descend) | (alive & ~coarse & is_air_medium & sat)
         alive = alive & (t < t_out)
-        return t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step + 1
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step + 1
 
     def cond(state):
         alive = state[1]
@@ -302,13 +349,14 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         or revive the march past the voxel.  Runs BETWEEN marches, so its three
         gathers (field word + two texels) cost once per parked voxel, not per
         DDA step."""
-        t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step = state
+        t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step = state
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
         vx = jnp.clip(jnp.floor(px - orig[0]).astype(I32), 0, xdim - 1)
         vy = jnp.clip(jnp.floor(py - orig[1]).astype(I32), 0, ydim - 1)
         vz = jnp.clip(jnp.floor(pz - orig[2]).astype(I32), 0, zdim - 1)
+        # parked lanes are always at the fine level (only fine lanes park)
         widx = jnp.where(pending, (vz * xdim + vx) * ydim + vy, I32(0))
         packed = flat_field[widx]
         val = packed & I32(0xFF)
@@ -388,7 +436,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         t = jnp.where(revived, t_next, t)
         alive = alive | (revived & (t < t_out))
         pending = pending & False
-        return t, alive, hit, hit_block, hit_x, x_use_a, pending, lane_steps, step
+        return t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step
 
     def outer_body(state):
         state = jax.lax.while_loop(cond, body, state)
@@ -406,6 +454,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         false0,
         false0,
         false0,
+        false0,  # coarse: rays start at the fine level and ascend on saturation
         false0.astype(I32),
         jnp.zeros((), I32),
     )
@@ -422,7 +471,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         final = jax.lax.while_loop(cond, body, init)
     else:
         final = jax.lax.while_loop(cond, outer_body, init)
-    t, _, hit, hit_block, hit_x, x_use_a, _, lane_steps, _ = final
+    t, _, hit, hit_block, hit_x, x_use_a, _, _, lane_steps, _ = final
 
     # hit voxel + entry-face normal
     px = ox + dx * t
@@ -622,14 +671,19 @@ def _rng(seed):
     return hashes.rnd(seed)
 
 
-def _make_body(scene, params, depth_sink=None):
+def _make_body(scene, params, depth_sink=None, exact: bool | None = None):
     """Build the per-bounce state transition (one radiance DDA + shading + NEE
     shadow DDA) over an arbitrary lane shape.  The returned ``body`` derives every
     lane-shaped constant from the state itself, so the SAME function drives both
     the spatial band renderer (_render_rows, [h, w] lanes) and the compacted
     bounce loop (render_sample_compact, [n] lanes).  ``depth_sink``: optional
     list that receives the primary-hit camera distance on a first=True call
-    (the temporal-reprojection AOV).  Returns (body, active_of)."""
+    (the temporal-reprojection AOV).  ``exact``: exact-reference trace mode —
+    uncapped bounce/shadow marches + exact alpha on all ray types (the
+    reference's semantics; default from config.render.exact_trace).
+    Returns (body, active_of)."""
+    if exact is None:
+        exact = EXACT_TRACE
     props_tab = jnp.asarray(BLOCK_PROPS)
     tex_diff_tab = jnp.asarray(TEX_DIFF_PACKED)
     tex_emis_tab = jnp.asarray(TEX_EMIS_PACKED)
@@ -660,10 +714,10 @@ def _make_body(scene, params, depth_sink=None):
         # cost on the forested 9×9 scene
         res = trace(
             scene, ox, oy, oz, ddx, ddy, ddz, s["medium"],
-            max_steps=MAX_TRACE_STEPS if first else BOUNCE_TRACE_STEPS,
+            max_steps=MAX_TRACE_STEPS if (first or exact) else BOUNCE_TRACE_STEPS,
             active=active,
-            alpha="exact" if first else "stochastic",
-            seed=None if first else seed,
+            alpha="exact" if (first or exact) else "stochastic",
+            seed=None if (first or exact) else seed,
         )
         if first and depth_sink is not None:
             # primary-hit camera distance (res.t is 1e20 on miss), for temporal
@@ -960,8 +1014,9 @@ def _make_body(scene, params, depth_sink=None):
         # radiance-ray roll.
         sres = trace(
             scene, spx[0], spx[1], spx[2], sdx, sdy, sdz, jnp.full_like(s["medium"], U8(AIR)),
-            max_steps=SHADOW_TRACE_STEPS, active=nee,
-            alpha="stochastic", seed=seed ^ jnp.uint32(0x5BD1E995),
+            max_steps=MAX_TRACE_STEPS if exact else SHADOW_TRACE_STEPS, active=nee,
+            alpha="exact" if exact else "stochastic",
+            seed=None if exact else seed ^ jnp.uint32(0x5BD1E995),
         )
         shadow_miss = ~sres.hit
         # doFog's getSkyColor runs with needsFirstHitData already false -> disks yes,
@@ -1087,6 +1142,7 @@ def _render_rows(
     col0=0,
     full_width: int | None = None,
     want_depth: bool = False,
+    exact: bool | None = None,
 ):
     """One 1-spp path-traced sample of a ``height``x``width`` tile whose top-left
     global pixel is (``row0``, ``col0``) of the full frame.
@@ -1101,7 +1157,7 @@ def _render_rows(
 
     _first_depth: list = []
     body, active_of = _make_body(
-        scene, params, depth_sink=_first_depth if want_depth else None
+        scene, params, depth_sink=_first_depth if want_depth else None, exact=exact
     )
 
     def cond(s):
@@ -1149,6 +1205,7 @@ def render_sample(
     full_height: int | None = None,
     want_depth: bool = False,
     compact: bool = False,
+    exact: bool | None = None,
 ):
     """One 1-spp path-traced sample of ``height`` rows starting at global row
     ``row0`` of a ``full_height``-row frame (defaults: the full frame).  ``row0``
@@ -1194,7 +1251,7 @@ def render_sample(
     if tile_rows is None or tile_rows >= height:
         return _render_rows(
             scene, cam, params, height, width, frame_id, row0, full_height,
-            want_depth=want_depth,
+            want_depth=want_depth, exact=exact,
         )
 
     n_full = height // tile_rows
@@ -1215,6 +1272,7 @@ def render_sample(
             return _render_rows(
                 scene, cam, params, tile_rows, tile_cols, frame_id,
                 row0 + off[0], full_height, off[1], width, want_depth=want_depth,
+                exact=exact,
             )
 
         offs = np.array(
@@ -1235,7 +1293,7 @@ def render_sample(
         def band(band_row0):
             return _render_rows(
                 scene, cam, params, tile_rows, width, frame_id, band_row0,
-                full_height, want_depth=want_depth,
+                full_height, want_depth=want_depth, exact=exact,
             )
 
         offsets = row0 + jnp.asarray(np.array(row_offs, np.int32))
