@@ -27,6 +27,16 @@ class RenderConfig:
     reset_camera_on_scene_update: bool = True  # defines.hpp RESET_CAMERA_ON_BUILD_IAS
     zoom_fov_deg: float = 20.0  # optixRenderer.cpp:429
     fov_deg: float = 47.0  # optixRenderer.cpp:428
+    #: DDA march caps (TPU-specific: lock-stepped loops; see tracer.py) — read by
+    #: tracer at import as its module defaults, env-overridable (MMTPU_RENDER_*)
+    max_trace_steps: int = 320
+    bounce_trace_steps: int = 96
+    shadow_trace_steps: int = 64
+    #: exact-reference trace mode: bounce/shadow marches uncapped (= max_trace_steps)
+    #: and exact (park-and-resolve) alpha cutout on ALL ray types — the reference's
+    #: semantics (basic_shaders.cu:604-664,1022-1068); slower, used to quantify the
+    #: capped/stochastic fast path's bias (tools/trace_bias.py)
+    exact_trace: bool = False
 
 
 @dataclass

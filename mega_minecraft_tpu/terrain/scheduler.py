@@ -49,12 +49,17 @@ class ChunkState(enum.IntEnum):
     DRAWABLE = 11
 
 
-# scheduler constants (terrain.cpp:65-83)
-CHUNK_VBOS_GEN_RADIUS = 16
-ZONE_SIZE = 12
+# scheduler constants (terrain.cpp:65-83); budget knobs come from the config
+# tree (config.py, env-overridable via MMTPU_TERRAIN_*) with the reference's
+# values as defaults
+from ..config import load_config as _load_config
+
+_TCFG = _load_config().terrain
+CHUNK_VBOS_GEN_RADIUS = _TCFG.chunk_vbos_gen_radius
+ZONE_SIZE = _TCFG.zone_size
 CHUNK_MAX_GEN_RADIUS = CHUNK_VBOS_GEN_RADIUS + ZONE_SIZE * 2
-MAX_ACTION_TIME_PER_FRAME = 500
-TOTAL_ACTION_TIME_PER_SECOND = 60 * MAX_ACTION_TIME_PER_FRAME
+MAX_ACTION_TIME_PER_FRAME = _TCFG.max_action_time_per_frame
+TOTAL_ACTION_TIME_PER_SECOND = _TCFG.total_action_time_per_second
 ACTION_TIME = {
     "heightfield": 3,
     "gather_heightfield": 2,
@@ -67,7 +72,7 @@ ACTION_TIME = {
     "vbos": MAX_ACTION_TIME_PER_FRAME // 3,
 }
 
-STAGE_BATCH = 16  # chunks per jitted stage call (padded)
+STAGE_BATCH = _TCFG.stage_batch  # chunks per jitted stage call (padded)
 
 
 # ---------------------------------------------------------------------------
