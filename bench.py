@@ -1,83 +1,91 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Headline (round 2): FULL-workload generation throughput — heightfield → layers →
-caves → chunk fill → feature placement → 49-chunk feature gather → SDF feature
-fill → decorators, fused in one device program over a 5×5 chunk area (BASELINE
+Headline: FULL-workload generation throughput — heightfield → layers → caves →
+chunk fill → feature placement → 49-chunk feature gather → SDF feature fill →
+decorators, fused in one device program over a 5×5 chunk area (BASELINE
 config 2), PLUS zone erosion amortized at the reference's workload shape (one
 24×24-chunk zone erodes per 144 chunk fills, terrain.cpp:456-567).  The
 reference's comparable number: initial world generation drains ~1089 filled
 chunks (all stages) in ~7.7 s on an RTX-class GPU (timings.txt:15-80)
 ≈ 141 chunks/s; vs_baseline is measured against that.
 
-The "extra" field carries the secondary benchmark lines (BASELINE configs 3-4):
-raw fused-gen throughput, erosion ms/zone, and the 1080p static-scene render.
+Structure (round 3, VERDICT #1): the parent process never touches JAX.  ALL
+legs run in ONE child subprocess (`--leg all`) that prints each leg's result
+as its own JSON line the moment it finishes; the parent streams the child's
+stdout and prints the headline JSON IMMEDIATELY after the generation line
+arrives (provisional, erosion amortization = 0), then re-prints it enriched
+as later legs land — the driver parses the LAST JSON line, so last-line-wins
+and a number is recorded even if a later leg hangs (per-leg stall deadlines
+kill the child; the tunnel's first dispatch alone costs 2.5-7.5 min, so legs
+share one process/backend init).
+
+The "extra" field carries the secondary benchmark lines (BASELINE configs
+3-4): raw fused-gen throughput, erosion ms/zone, and the 1080p static-scene
+render + denoise.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
 REFERENCE_CHUNKS_PER_SEC = 1089.0 / 7.7  # timings.txt drain over filled chunks
 
-# wall-clock budget: secondary legs are skipped (with a note in "extra") once this
-# is exceeded, so the headline JSON line ALWAYS prints even from a cold XLA cache
+HEADLINE_METRIC = (
+    "chunks/sec generated (ALL stages incl. features+decorators, "
+    "erosion amortized; 5x5 zone, warm)"
+)
+
+# overall wall-clock budget: once exceeded, remaining legs are skipped (noted in
+# "extra") — the headline line has already been printed by then
 BENCH_BUDGET_S = float(os.environ.get("MMTPU_BENCH_BUDGET_S", "1800"))
+# per-leg hard timeouts (compile included; persistent XLA cache makes reruns fast)
+LEG_TIMEOUT_S = {
+    # generous: a COLD fused-pipeline compile takes ~15 min and the first
+    # device dispatch through the tunnel alone can take ~2.5 min (measured)
+    "generation": float(os.environ.get("MMTPU_BENCH_GEN_TIMEOUT_S", "1500")),
+    "erosion": float(os.environ.get("MMTPU_BENCH_EROSION_TIMEOUT_S", "420")),
+    "render": float(os.environ.get("MMTPU_BENCH_RENDER_TIMEOUT_S", "900")),
+}
 _T0 = time.time()
-
-
-def _over_budget() -> bool:
-    return time.time() - _T0 > BENCH_BUDGET_S
 
 
 def _mark(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def _probe_device(timeout_s: float):
-    """Fail fast with a valid JSON line if the device never answers.
-
-    A wedged axon tunnel blocks the FIRST dispatch inside C code forever — the
-    leg-level budget checks can't fire because control never returns.  Probe on
-    a daemon thread and hard-exit with an error line if it doesn't come back."""
-    import threading
-
-    ok = threading.Event()
-
-    def probe():
-        x = jnp.ones((8, 128)) * 2
-        if float(x.sum()) == 2048.0:
-            ok.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok.is_set():
-        print(
-            json.dumps(
-                {
-                    "metric": "chunks/sec generated (ALL stages incl. features+decorators, erosion amortized; 5x5 zone, warm)",
-                    "value": 0.0,
-                    "unit": "chunks/s",
-                    "vs_baseline": 0.0,
-                    "extra": {
-                        "error": f"device probe did not answer within {timeout_s:.0f}s (TPU tunnel wedged?)"
-                    },
-                }
-            ),
-            flush=True,
-        )
-        os._exit(1)
+def _remaining_budget() -> float:
+    return BENCH_BUDGET_S - (time.time() - _T0)
 
 
-def bench_generation():
+# ---------------------------------------------------------------------------
+# Leg bodies — run inside `python bench.py --leg <name>` subprocesses.
+# Each prints one JSON object on its LAST stdout line.
+# ---------------------------------------------------------------------------
+
+
+def _leg_setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    # probe ON THE MAIN THREAD (the axon backend wedges on a first dispatch from
+    # a secondary thread — measured, this killed the round-2 threaded probe); a
+    # wedged tunnel hangs here and the PARENT's leg timeout converts that into a
+    # recorded error instead of a lost benchmark
+    import jax.numpy as jnp
+
+    _mark("probing device...")
+    assert float((jnp.ones((8, 128)) * 2).sum()) == 2048.0
+    _mark("device ok")
+
+
+def leg_generation():
+    import jax.numpy as jnp
+    import numpy as np
+
     from mega_minecraft_tpu.terrain import pipeline
 
     n = 5  # 5x5 chunk zone (BASELINE.json config 2)
@@ -96,7 +104,9 @@ def bench_generation():
         return np.asarray(out["blocks"][0, 0, 0])
 
     def timed(features, reps=8):
+        _mark(f"generation warm/compile (features={features})...")
         run_once(features)  # warm (compile)
+        _mark("compiled; timing...")
         t0 = time.time()
         # chain dispatches, sync once: each host sync costs a tunnel round-trip
         for _ in range(reps - 1):
@@ -106,11 +116,19 @@ def bench_generation():
 
     dt_full = timed(True)
     dt_base = timed(False)
-    return n * n, dt_full, dt_base
+    print(
+        json.dumps(
+            {"leg": "generation", "n_chunks": n * n, "dt_full": dt_full, "dt_base": dt_base}
+        ),
+        flush=True,
+    )
 
 
-def bench_erosion():
+def leg_erosion():
     """One real 24×24-chunk zone erosion (BASELINE config 3), warm."""
+    import jax.numpy as jnp
+    import numpy as np
+
     from mega_minecraft_tpu.terrain import erosion, heightfield, layers
 
     g = 24
@@ -132,17 +150,23 @@ def bench_erosion():
     lg = jnp.asarray(np.asarray(ls).reshape(g, g, 20, 16, 16))
     zg = erosion.gather_zone_layers(lg, jnp.asarray(hf_grid[1:-1, 1:-1]))
 
+    _mark("erosion warm/compile...")
     np.asarray(erosion.erode_zone(zg)[0, 0, :2])  # warm
     reps = 4
     t0 = time.time()
     for _ in range(reps - 1):
         erosion.erode_zone(zg)
     np.asarray(erosion.erode_zone(zg)[0, 0, :2])
-    return (time.time() - t0) / reps
+    print(
+        json.dumps({"leg": "erosion", "zone_s": (time.time() - t0) / reps}), flush=True
+    )
 
 
-def bench_render():
-    """Static 9×9 scene at 1080p 1spp (BASELINE config 4), warm ms/frame."""
+def leg_render():
+    """Static 9×9 scene, 540p + 1080p 1spp (BASELINE config 4), warm ms/frame."""
+    import jax.numpy as jnp
+    import numpy as np
+
     from mega_minecraft_tpu.render import brickmap, camera, denoise, sky, tracer
     from mega_minecraft_tpu.terrain import pipeline
 
@@ -153,6 +177,7 @@ def bench_render():
         pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
     )
     params = sky.sky_params(1.0, 0.0)
+    deadline = _T0 + BENCH_BUDGET_S
 
     def run(H, W, reps=4):
         cam = player.camera_params(W, H)
@@ -172,21 +197,14 @@ def bench_render():
     _mark("render 540p (compile)...")
     dt_half, fbs_half = run(H // 2, W // 2)
     out["ms_per_frame_540p_render"] = round(dt_half * 1e3, 1)
-    if _over_budget():
-        out["skipped_1080p"] = "bench budget exceeded"
-        dt_full = None
-    else:
-        _mark("render 1080p (compile)...")
-        dt_full, _ = run(H, W)
-        out["ms_per_frame_1080p"] = round(dt_full * 1e3, 1)
-        out["mpaths_per_s_1080p"] = round(W * H / dt_full / 1e6, 3)
+
+    _mark("denoise (compile)...")
 
     def dn():
         img = denoise.atrous_denoise(fbs_half.color, fbs_half.albedo, fbs_half.normal)
         img = denoise.upscale2x(img)
         np.asarray(img[0, 0, 0])
 
-    _mark("denoise (compile)...")
     dn()  # compile
     t0 = time.time()
     for _ in range(4):
@@ -194,49 +212,152 @@ def bench_render():
     denoise_s = (time.time() - t0) / 4
     out["denoise_upscale_to_1080p_ms"] = round(denoise_s * 1e3, 1)
     out["fps_upscaled_1080p"] = round(1.0 / (dt_half + denoise_s), 2)
-    return out
+    # partial leg line — the parent enriches the headline as lines arrive
+    print(json.dumps(dict(out, leg="render")), flush=True)
+
+    if time.time() < deadline:
+        _mark("render 1080p (compile)...")
+        dt_full, _ = run(H, W)
+        out["ms_per_frame_1080p"] = round(dt_full * 1e3, 1)
+        out["mpaths_per_s_1080p"] = round(W * H / dt_full / 1e6, 3)
+    else:
+        out["skipped_1080p"] = "bench budget exceeded"
+    print(json.dumps(dict(out, leg="render")), flush=True)
 
 
-def main():
-    _probe_device(float(os.environ.get("MMTPU_BENCH_PROBE_TIMEOUT_S", "300")))
-    _mark("generation leg...")
-    n_chunks, dt_full, dt_base = bench_generation()
-    extra = {
-        "gen_no_features_chunks_per_sec": round(n_chunks / dt_base, 1),
-        "gen_full_chunks_per_sec": round(n_chunks / dt_full, 1),
-    }
-    _mark("erosion leg...")
-    try:
-        if _over_budget():
-            raise RuntimeError("bench budget exceeded")
-        zone_s = bench_erosion()
-        extra["erosion_ms_per_zone_24x24"] = round(zone_s * 1e3, 2)
-        erosion_per_chunk = zone_s / 144.0  # one 12×12-core zone per 144 fills
-    except Exception as e:  # keep the headline even if a secondary leg fails
-        extra["erosion_error"] = repr(e)[:200]
-        erosion_per_chunk = 0.0
-    _mark("render leg...")
-    try:
-        if _over_budget():
-            raise RuntimeError("bench budget exceeded")
-        extra.update(bench_render())
-    except Exception as e:
-        extra["render_error"] = repr(e)[:200]
+def leg_all():
+    _leg_setup()
+    for fn in (leg_generation, leg_erosion, leg_render):
+        try:
+            fn()
+        except Exception as e:  # keep later legs alive; the parent records it
+            print(
+                json.dumps(
+                    {"leg": fn.__name__.removeprefix("leg_"), "error": repr(e)[:300]}
+                ),
+                flush=True,
+            )
 
-    per_chunk = dt_full / n_chunks + erosion_per_chunk
-    chunks_per_sec = 1.0 / per_chunk
+
+# ---------------------------------------------------------------------------
+# Parent orchestration
+# ---------------------------------------------------------------------------
+
+
+def _print_headline(value, vs, extra):
     print(
         json.dumps(
             {
-                "metric": "chunks/sec generated (ALL stages incl. features+decorators, erosion amortized; 5x5 zone, warm)",
-                "value": round(chunks_per_sec, 2),
+                "metric": HEADLINE_METRIC,
+                "value": round(value, 2),
                 "unit": "chunks/s",
-                "vs_baseline": round(chunks_per_sec / REFERENCE_CHUNKS_PER_SEC, 4),
+                "vs_baseline": round(vs, 4),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def main():
+    import queue
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--leg", "all"],
+        stdout=subprocess.PIPE,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    q: "queue.Queue[bytes | None]" = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    extra = {}
+    gen_per_chunk = None
+    erosion_per_chunk = 0.0
+    legs = ["generation", "erosion", "render"]
+    cur = 0
+    # per-leg stall deadline: reset whenever the child emits a leg line
+    deadline = time.time() + LEG_TIMEOUT_S[legs[0]]
+
+    def headline(provisional=False):
+        e = dict(extra, provisional=True) if provisional else dict(extra)
+        if gen_per_chunk is None:
+            _print_headline(0.0, 0.0, e)
+        else:
+            cps = 1.0 / (gen_per_chunk + erosion_per_chunk)
+            _print_headline(cps, cps / REFERENCE_CHUNKS_PER_SEC, e)
+
+    while True:
+        try:
+            line = q.get(timeout=5.0)
+        except queue.Empty:
+            if time.time() > deadline or _remaining_budget() < 0:
+                why = "stall deadline" if time.time() > deadline else "bench budget"
+                extra[f"{legs[cur] if cur < len(legs) else 'post'}_error"] = (
+                    f"killed ({why} exceeded)"
+                )
+                proc.kill()
+                break
+            continue
+        if line is None:  # child exited
+            break
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        leg = d.pop("leg", None)
+        if leg == "generation":
+            if "error" in d:
+                extra["generation_error"] = d["error"]
+            else:
+                extra["gen_no_features_chunks_per_sec"] = round(
+                    d["n_chunks"] / d["dt_base"], 1
+                )
+                extra["gen_full_chunks_per_sec"] = round(d["n_chunks"] / d["dt_full"], 1)
+                gen_per_chunk = d["dt_full"] / d["n_chunks"]
+            # PROVISIONAL headline: the round's number is recorded NOW; later
+            # legs only enrich it (driver reads the last line, last-line-wins)
+            headline(provisional=True)
+        elif leg == "erosion":
+            if "error" in d:
+                extra["erosion_error"] = d["error"]
+            else:
+                extra["erosion_ms_per_zone_24x24"] = round(d["zone_s"] * 1e3, 2)
+                erosion_per_chunk = d["zone_s"] / 144.0  # one zone per 144 fills
+            headline(provisional=True)
+        elif leg == "render":
+            if "error" in d:
+                extra["render_error"] = d["error"]
+            else:
+                extra.update(d)  # render emits partial then full lines
+        if leg in legs:
+            i = legs.index(leg)
+            if i >= cur:
+                cur = i + 1
+            if cur < len(legs):
+                deadline = time.time() + LEG_TIMEOUT_S[legs[cur]]
+            else:
+                deadline = time.time() + LEG_TIMEOUT_S["render"]  # 1080p follow-up
+
+    headline()
+
+
+def _single_leg(name):
+    _leg_setup()
+    {"generation": leg_generation, "erosion": leg_erosion, "render": leg_render}[name]()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        if sys.argv[2] == "all":
+            leg_all()
+        else:
+            _single_leg(sys.argv[2])
+    else:
+        sys.exit(main())
