@@ -34,10 +34,16 @@ SEED_CAVE_TOP_L = 871503
 
 MAX_LAYERS = bio.MAX_CAVE_LAYERS_PER_COLUMN
 
-#: per-chunk compacted capacity (reference gathers 2048/4096 over 49 chunks,
-#: ≈40/80 per chunk — biome.hpp:7-8 comments)
-CHUNK_FEATURE_CAP = 64
-CHUNK_CAVE_FEATURE_CAP = 128
+#: per-chunk compacted capacity.  The reference's per-chunk placement vectors
+#: are UNBOUNDED (std::vector, chunk.cu:1030,1137); truncation happens only at
+#: the per-consumer gather caps 2048/4096 (biome.hpp:7-8, chunk.cu:1573-1596).
+#: Measured real-world per-chunk counts: surface ≤ 256 (one per column — exact
+#: bound), cave ~400 typical (up to 2/layer/column).  The old 64/128 caps
+#: silently dropped placements the reference keeps; these bounds make the
+#: per-chunk lists lossless in practice (a count > cap would be visible as a
+#: golden block-grid mismatch).
+CHUNK_FEATURE_CAP = 256
+CHUNK_CAVE_FEATURE_CAP = 1024
 
 
 def is_feature_pos(wx, wz, cell, padding, seed):
@@ -221,12 +227,16 @@ def compact_placements(pl, chunk_pos):
     wz = chunk_pos[:, 1, None, None] + lx[None, :, None]
 
     def compact(valid, order_key, cap, fields):
-        """valid [B, N] bool over flattened candidates; fields dict of [B, N]."""
+        """valid [B, N] bool over flattened candidates; fields dict of [B, N].
+        The output's "count" is the TRUE (pre-cap) per-chunk placement count —
+        the per-consumer gather-cap emulation (features.apply_placements_area)
+        needs exact prefix sums over the reference's unbounded lists."""
         key = jnp.where(valid, order_key, I32(2**30))
         idx = jnp.argsort(key, axis=-1)[:, :cap]
         out = {k: jnp.take_along_axis(v, idx, axis=-1) for k, v in fields.items()}
         taken_valid = jnp.take_along_axis(valid, idx, axis=-1)
         out["feature"] = jnp.where(taken_valid, out["feature"], I32(0))
+        out["count"] = valid.sum(axis=-1).astype(I32)
         return out
 
     # surface: candidates = 256 columns
@@ -284,7 +294,10 @@ MAX_GATHERED_CAVE_FEATURES = bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK
 
 def gather_from_neighborhood(per_chunk_lists, cap: int):
     """Concatenate 49 per-chunk lists ([49, CAP, ...] dict) in offset order and
-    re-compact to `cap` entries. Returns dict of [cap] arrays."""
+    re-compact to `cap` entries (the reference's MAX_GATHERED_* truncation,
+    chunk.cu:1573-1596, reproduced exactly: valid-first stable order = full-list
+    concatenation order). Returns dict of [cap] arrays."""
+    per_chunk_lists = {k: v for k, v in per_chunk_lists.items() if k != "count"}
     n, c = per_chunk_lists["feature"].shape[:2]
     flat = {k: v.reshape(n * c, *v.shape[2:]) for k, v in per_chunk_lists.items()}
     valid = flat["feature"] > 0

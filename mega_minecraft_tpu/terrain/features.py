@@ -139,10 +139,17 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
     exactly by a min-key combine with key = rank(src_chunk, voxel_chunk)·K + slot,
     where the rank maps are STATIC per (source, consumer) chunk-index pair.
     Sources >3 chunks from a voxel's chunk get rank ∞ there — the same clipping
-    the 49-gather performs.  (The only divergence from the gathered path is the
-    per-consumer truncation to MAX_GATHERED_*_PER_CHUNK=2048/4096, which real
-    worlds never reach: 49 chunks × the 64/128 per-chunk caps ≈ the limit only
-    if every chunk saturates its cap.)
+    the 49-gather performs.
+
+    The reference ALSO truncates each consumer's gathered list at
+    MAX_GATHERED_*_PER_CHUNK = 2048/4096 (chunk.cu:1573-1596) — and real worlds
+    EXCEED the cave cap routinely (~400 cave placements/chunk × 49 ≈ 20k
+    gathered; measured by the block-grid goldens), so most cave placements past
+    the first ~10 spiral offsets never apply.  That truncation is emulated
+    exactly: a placement is visible to a consumer chunk iff its gathered rank
+    (per-consumer prefix count over the spiral order + within-chunk slot) is
+    below the cap, using the TRUE per-chunk counts carried by
+    ``lists["count"]``.
 
     Args:
       area_blocks: [ncz*16, ncx*16, 384] u8 (chunk rows z-major).
@@ -152,9 +159,21 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
     """
     from .feature_placement import GATHER_OFFSETS
 
+    lists = dict(lists)
+    # [B] TRUE per-chunk placement counts (synthetic test lists may omit it, in
+    # which case the lists are lossless and valid-entry counts are exact)
+    counts = lists.pop("count", None)
+    if counts is None:
+        counts = (lists["feature"] > 0).sum(axis=-1).astype(I32)
     B, K = lists["feature"].shape
     assert B == ncx * ncz
     nz, nx = ncz * 16, ncx * 16
+    from ..world import biomes as bio
+
+    gather_cap = (
+        bio.MAX_GATHERED_CAVE_FEATURES_PER_CHUNK if cave
+        else bio.MAX_GATHERED_FEATURES_PER_CHUNK
+    )
 
     lx = jnp.arange(nx, dtype=I32)
     lz = jnp.arange(nz, dtype=I32)
@@ -189,6 +208,26 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
                     rank_maps[sb, vz, vx] = r
     rank_maps = jnp.asarray(rank_maps)
     KEY_INF = jnp.iinfo(jnp.int32).max
+
+    # per-consumer gathered-list prefix counts: prefix[cb, r] = number of
+    # placements from spiral offsets BEFORE rank r in consumer cb's gather —
+    # a placement at (source, slot k) sits at gathered index prefix[cb, rank]+k
+    # and the reference drops it there when that index >= the 2048/4096 cap
+    src_of = np.full((B, len(GATHER_OFFSETS)), -1, np.int64)
+    for cb in range(B):
+        vz, vx = divmod(cb, ncx)
+        for r, (ox, oz) in enumerate(GATHER_OFFSETS):
+            sx, sz = vx + int(ox), vz + int(oz)
+            if 0 <= sx < ncx and 0 <= sz < ncz:
+                src_of[cb, r] = sz * ncx + sx
+    counts_mat = jnp.where(
+        jnp.asarray(src_of >= 0), counts[jnp.asarray(np.maximum(src_of, 0))], I32(0)
+    )  # [B, 49]
+    prefix = jnp.cumsum(counts_mat, axis=1) - counts_mat  # exclusive prefix [B, 49]
+    # pad rank BIG -> prefix irrelevant (key goes INF); clip for safe take
+    prefix = jnp.concatenate(
+        [prefix, jnp.zeros((B, int(BIG) + 1 - len(GATHER_OFFSETS)), I32)], axis=1
+    )
 
     # flatten sources and push empty slots to the end (order-preserving), so the
     # while_loop visits only real placements
@@ -231,6 +270,12 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
         rm = jnp.take(rank_maps, src_b[i], axis=0)  # [ncz, ncx]
         key = (rm * I32(K) + slot[i]).astype(jnp.int32)
         key = jnp.where(rm >= I32(BIG), KEY_INF, key)
+        # per-consumer gather-cap truncation (chunk.cu:1573-1596): this
+        # placement's gathered index in each consumer chunk's list
+        pr = jnp.take_along_axis(
+            prefix.reshape(ncz, ncx, -1), rm[:, :, None], axis=2
+        )[:, :, 0]
+        key = jnp.where(pr + slot[i] < I32(gather_cap), key, KEY_INF)
         key = jnp.repeat(jnp.repeat(key, 16, axis=0), 16, axis=1)[:, :, None]
         candidate = (
             ((area_blocks == AIR) | can_replace)

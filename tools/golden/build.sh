@@ -15,6 +15,23 @@ sed -n '/^__device__ float getStratifiedMaterialThickness/,/^}/p' \
 sed -n '/^__device__ bool shouldGenerateCaveAtBlock/,/^}/p' \
     "$REF/src/terrain/chunk.cu" >> "$HERE/extracted_chunk.inc"
 
+# fill/feature/decorator stages, extracted verbatim (Chunk:: methods renamed to
+# the minimal GoldenChunk struct declared in golden_gen.cpp — same member names)
+CU="$REF/src/terrain/chunk.cu"
+{
+  sed -n '/^bool isFeaturePos/,/^}/p' "$CU"
+  sed -n '/^__device__ void chunkFillPlaceBlock/,/^}/p' "$CU"
+  sed -n '/^static const std::array<ivec2, 49> gatherFeaturePlacementsChunkOffsets/,/^};/p' "$CU"
+  sed -n '/^bool Chunk::tryGenerateCaveFeaturePlacement/,/^}/p' "$CU"
+  sed -n '/^void Chunk::generateColumnFeaturePlacements/,/^}/p' "$CU"
+  sed -n '/^void Chunk::generateFeaturePlacements/,/^}/p' "$CU"
+  sed -n '/^void Chunk::fixBackwardStratifiedLayers/,/^}/p' "$CU"
+  sed -n '/^void heightBoundsMinMax/,/^}/p' "$CU"
+  sed -n '/^void Chunk::tryPlaceSingleDecorator/,/^}/p' "$CU"
+  sed -n '/^void Chunk::placeDecorators/,/^}/p' "$CU"
+} | sed -e 's/Chunk::/GoldenChunk::/' -e 's/thrust::random::/thrust::/' \
+    > "$HERE/extracted_fill.inc"
+
 # -ffp-contract=off: keep f32 expression results stable (no host FMA fusion);
 # the reference device build uses fast math, so goldens are "reference logic
 # at IEEE f32" — tests compare with documented epsilons.

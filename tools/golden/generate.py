@@ -79,6 +79,32 @@ def main():
         chunks[f"cavetop_{key}"] = tb
 
     np.savez_compressed(os.path.join(OUT_DIR, "golden_chunks.npz"), **chunks)
+
+    # full block grids (BASELINE config 1 "block-grid diff"): fill -> SDF
+    # features -> decorators for the center chunk of a 7x7 neighborhood
+    # (skip-erosion semantics).  Positions chosen for coverage: forest+decorators,
+    # mountains, ocean, far-field.
+    bg = {}
+    for cx, cz in [(-160, -160), (592, -368), (0, 0), (4096, 4096)]:
+        run([BIN, "blockgrid", str(cx), str(cz), tmp])
+        raw = np.fromfile(tmp, np.uint8)
+        n = 16 * 384 * 16
+        bg[f"pre_{cx}_{cz}"] = raw[:n].reshape(16, 16, 384)
+        bg[f"post_{cx}_{cz}"] = raw[n : 2 * n].reshape(16, 16, 384)
+        bg[f"counts_{cx}_{cz}"] = np.frombuffer(raw[2 * n :].tobytes(), np.int32)
+    np.savez_compressed(os.path.join(OUT_DIR, "golden_blockgrid.npz"), **bg)
+
+    # zone erosion (BASELINE config 3): two 24x24-chunk zones — the origin region
+    # and a mountainous one (both corners multiples of 16).  Stores the
+    # pre-erosion gathered grid AND the reference-eroded result, so the test can
+    # isolate erosion semantics from upstream heightfield/layer epsilons.
+    ero = {}
+    for cx, cz in [(0, 0), (400, -560)]:
+        run([BIN, "erosion", str(cx), str(cz), tmp])
+        raw = np.fromfile(tmp, np.float32).reshape(2, 9, 384, 384)
+        ero[f"input_{cx}_{cz}"] = raw[0]
+        ero[f"eroded_{cx}_{cz}"] = raw[1]
+    np.savez_compressed(os.path.join(OUT_DIR, "golden_erosion.npz"), **ero)
     print("wrote", OUT_DIR)
 
 

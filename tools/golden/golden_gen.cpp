@@ -28,10 +28,43 @@
 #include "util/rng.hpp"
 #include "util/enums.hpp"
 #include "terrain/biomeFuncs.hpp"
+#include "terrain/featurePlacement.hpp"
 
 // getStratifiedMaterialThickness + shouldGenerateCaveAtBlock, extracted
 // verbatim from src/terrain/chunk.cu by build.sh:
 #include "extracted_chunk.inc"
+
+// Minimal stand-in for the reference's Chunk (src/terrain/chunk.hpp) with the
+// SAME member names/layouts, so the fill/feature/decorator methods extracted
+// verbatim by build.sh (extracted_fill.inc, Chunk:: -> GoldenChunk::) compile
+// against it unmodified.
+struct GoldenChunk
+{
+    ivec3 worldBlockPos{};
+    std::array<float, 256> heightfield{};
+    std::array<float, 24 * 256> biomeWeights{};
+    std::array<float, 20 * 256> layers{};
+    std::array<CaveLayer, 256 * MAX_CAVE_LAYERS_PER_COLUMN> caveLayers{};
+    std::vector<FeaturePlacement> featurePlacements;
+    std::vector<CaveFeaturePlacement> caveFeaturePlacements;
+    std::vector<FeaturePlacement> gatheredFeaturePlacements;
+    std::vector<CaveFeaturePlacement> gatheredCaveFeaturePlacements;
+    std::array<Block, 16 * 384 * 16> blocks{};
+
+    bool tryGenerateCaveFeaturePlacement(const CaveFeatureGen &caveFeatureGen,
+                                         const CaveLayer &caveLayer, bool top,
+                                         int caveFeaturePlacementSeed, float rand,
+                                         ivec2 worldBlockPos2d);
+    void generateColumnFeaturePlacements(int localX, int localZ);
+    void generateFeaturePlacements();
+    void fixBackwardStratifiedLayers();
+    void tryPlaceSingleDecorator(ivec3 pos, const DecoratorGen &gen);
+    void placeDecorators();
+};
+
+bool isFeaturePos(ivec2 worldBlockPos2d, int gridCellSize, int gridCellPadding, int seed);
+
+#include "extracted_fill.inc"
 
 namespace
 {
@@ -215,6 +248,182 @@ void chunkCaves(ivec2 chunkPos, const float hf18[18 * 18], const float weights[2
     }
 }
 
+// Zone erosion (kernDoErosion + Chunk::erodeZone host loop, chunk.cu:473-723):
+// 24x24-chunk gathered grid of 8 eroded-layer starts + heightfield, relaxed
+// top layer first by synchronous Jacobi sweeps until the did-change flag stays
+// clear.  Reproduces the reference's literal semantics: accumulatedHeights
+// folded into reads ONLY on each layer's first iteration (isFirst,
+// chunk.cu:507,551), writes gated on maxThickness > 0 over the 3x3
+// neighborhood (chunk.cu:578), newStart clamped to the layer end, neighbor
+// reads clamped at the grid border (chunk.cu:545).  One kernel launch loads
+// per-block snapshots before relaxing, so a launch IS one Jacobi step; the
+// converged fixed point is schedule-independent (monotone operator).
+void erodeGrid(float *G /* [9][384*384] */)
+{
+    constexpr int N = 384; // EROSION_GRID_SIDE_LENGTH_BLOCKS (terrain.hpp:18)
+    constexpr int NC = N * N;
+    std::vector<float> A(NC, 0.f), S(NC), E(NC);
+
+    for (int l = numErodedMaterials - 1; l >= 0; --l)
+    {
+        const float tanRepose =
+            dev_materialInfos[numStratifiedMaterials + l].noiseAmplitudeOrTanAngleOfRepose;
+        bool first = true;
+        bool changedAny;
+        do
+        {
+            changedAny = false;
+            for (int i = 0; i < NC; ++i)
+            {
+                const float a = first ? A[i] : 0.f;
+                S[i] = G[l * NC + i] + a;
+                E[i] = G[(l + 1) * NC + i] + a;
+            }
+            for (int z = 0; z < N; ++z)
+            {
+                for (int x = 0; x < N; ++x)
+                {
+                    const int i = z * N + x;
+                    float ns = S[i];
+                    float maxTh = E[i] - S[i];
+                    for (int d = 0; d < 8; ++d)
+                    {
+                        ivec2 nb = clamp(ivec2(x, z) + dev_dirVecs2d[d], 0, N - 1);
+                        const int j = nb.y * N + nb.x;
+                        ns = max(ns, S[j] - tanRepose * (d % 2 == 1 ? SQRT_2 : 1.f));
+                        maxTh = max(maxTh, E[j] - S[j]);
+                    }
+                    ns = min(ns, E[i]);
+                    if (maxTh > 0)
+                    {
+                        G[l * NC + i] = ns;
+                        if (ns != S[i])
+                        {
+                            A[i] += ns - S[i];
+                            changedAny = true;
+                        }
+                    }
+                }
+            }
+            first = false;
+        } while (changedAny);
+    }
+}
+
+// kernFill launch semantics for one chunk (chunk.cu:1379-1510: per-column
+// shared arrays, per-block RNG, base fill then gathered feature loops) plus
+// Chunk::fill's gathered height bounds and MAX-capacity truncation + NONE
+// sentinel (chunk.cu:1546-1602).
+void fillChunk(GoldenChunk &c)
+{
+    ivec2 allFeaturesHeightBounds = ivec2(384, -1);
+    for (const auto &fp : c.gatheredFeaturePlacements)
+    {
+        const auto &b = host_featureHeightBounds[(int)fp.feature];
+        heightBoundsMinMax(allFeaturesHeightBounds, ivec2(fp.pos.y) + b);
+    }
+    ivec2 allCaveFeaturesHeightBounds = ivec2(384, -1);
+    for (const auto &cfp : c.gatheredCaveFeaturePlacements)
+    {
+        const auto &b = host_caveFeatureHeightBounds[(int)cfp.feature];
+        heightBoundsMinMax(allCaveFeaturesHeightBounds,
+                           ivec2(cfp.pos.y, cfp.pos.y + cfp.layerHeight) + b);
+    }
+
+    std::vector<FeaturePlacement> fps(
+        c.gatheredFeaturePlacements.begin(),
+        c.gatheredFeaturePlacements.begin() +
+            std::min((int)c.gatheredFeaturePlacements.size(), MAX_GATHERED_FEATURES_PER_CHUNK));
+    if ((int)fps.size() < MAX_GATHERED_FEATURES_PER_CHUNK)
+        fps.push_back({Feature::NONE});
+    std::vector<CaveFeaturePlacement> cfps(
+        c.gatheredCaveFeaturePlacements.begin(),
+        c.gatheredCaveFeaturePlacements.begin() +
+            std::min((int)c.gatheredCaveFeaturePlacements.size(), MAX_GATHERED_CAVE_FEATURES_PER_CHUNK));
+    if ((int)cfps.size() < MAX_GATHERED_CAVE_FEATURES_PER_CHUNK)
+        cfps.push_back({CaveFeature::NONE});
+
+    float shared_biomeWeights[numBiomes];
+    float shared_layersAndHeight[numMaterials + 1];
+    CaveLayer shared_caveLayers[MAX_CAVE_LAYERS_PER_COLUMN];
+
+    for (int z = 0; z < 16; ++z)
+    {
+        for (int x = 0; x < 16; ++x)
+        {
+            const int idx2d = posTo2dIndex(x, z);
+            for (int b = 0; b < numBiomes; ++b)
+                shared_biomeWeights[b] = c.biomeWeights[256 * b + idx2d];
+            for (int l = 0; l < numMaterials; ++l)
+                shared_layersAndHeight[l] = c.layers[256 * l + idx2d];
+            shared_layersAndHeight[numMaterials] = c.heightfield[idx2d];
+            for (int i = 0; i < MAX_CAVE_LAYERS_PER_COLUMN; ++i)
+                shared_caveLayers[i] = c.caveLayers[idx2d * MAX_CAVE_LAYERS_PER_COLUMN + i];
+            const float height = shared_layersAndHeight[numMaterials];
+
+            for (int y = 0; y < 384; ++y)
+            {
+                const ivec3 worldBlockPos = c.worldBlockPos + ivec3(x, y, z);
+                auto rng = makeSeededRandomEngine(worldBlockPos.x, worldBlockPos.y, worldBlockPos.z);
+
+                Block block;
+                chunkFillPlaceBlock(&block, shared_biomeWeights, shared_layersAndHeight,
+                                    shared_caveLayers, y, height, worldBlockPos, rng);
+
+                const bool isInFeatureBounds =
+                    y >= allFeaturesHeightBounds[0] && y <= allFeaturesHeightBounds[1];
+                const bool isInCaveFeatureBounds =
+                    y >= allCaveFeaturesHeightBounds[0] && y <= allCaveFeaturesHeightBounds[1];
+
+                Block featureBlock;
+                bool placedFeature = false;
+                if (isInFeatureBounds)
+                {
+                    for (const auto &featurePlacement : fps)
+                    {
+                        if (featurePlacement.feature == Feature::NONE)
+                            break;
+                        if (block != Block::AIR && !featurePlacement.canReplaceBlocks)
+                            continue;
+                        ivec2 b = dev_featureHeightBounds[(int)featurePlacement.feature] + ivec2(featurePlacement.pos.y);
+                        if (y < b[0] || y > b[1])
+                            continue;
+                        if (placeFeature(featurePlacement, worldBlockPos, &featureBlock))
+                        {
+                            placedFeature = true;
+                            break;
+                        }
+                    }
+                }
+                if (isInCaveFeatureBounds && !placedFeature)
+                {
+                    for (const auto &caveFeaturePlacement : cfps)
+                    {
+                        if (caveFeaturePlacement.feature == CaveFeature::NONE)
+                            break;
+                        if (block != Block::AIR && !caveFeaturePlacement.canReplaceBlocks)
+                            continue;
+                        const int fy = caveFeaturePlacement.pos.y;
+                        ivec2 b = ivec2(fy, fy + caveFeaturePlacement.layerHeight) +
+                                  dev_caveFeatureHeightBounds[(int)caveFeaturePlacement.feature];
+                        if (y < b[0] || y > b[1])
+                            continue;
+                        if (placeCaveFeature(caveFeaturePlacement, worldBlockPos, &featureBlock))
+                        {
+                            placedFeature = true;
+                            break;
+                        }
+                    }
+                }
+                if (placedFeature)
+                    block = featureBlock;
+
+                c.blocks[posTo3dIndex(x, y, z)] = block;
+            }
+        }
+    }
+}
+
 // Primitive-level goldens on a small grid (localizes failures to one primitive).
 void emitNoise(FILE *f)
 {
@@ -271,6 +480,109 @@ int main(int argc, char **argv)
     }
     ivec2 chunkPos(atoi(argv[2]), atoi(argv[3]));
     FILE *f = fopen(argv[4], "wb");
+
+    if (cmd == "blockgrid")
+    {
+        // full fill -> SDF features -> decorators pipeline for the chunk at
+        // block (CX, CZ): generates the 7x7 neighborhood (heightfield, layers
+        // + backward fixup [skip-erosion semantics, chunk.cu:744-749], caves,
+        // feature placements), gathers placements in the reference's 49-offset
+        // order, fills the CENTER chunk and decorates it.  Emits the 16x384x16
+        // u8 block grid pre- and post-decorators ([z][x][y] after numpy
+        // reshape: posTo3dIndex = y + 384*(x + 16*z)).
+        static GoldenChunk grid[7][7];
+        static float hf18[18 * 18], w[24 * 256];
+        static unsigned char mask[256 * 384];
+        static int cs[256 * 32], ce[256 * 32], bb[256 * 32], tb[256 * 32];
+        for (int j = 0; j < 7; ++j)
+        {
+            for (int i = 0; i < 7; ++i)
+            {
+                GoldenChunk &c = grid[j][i];
+                const ivec2 cpos = chunkPos + ivec2((i - 3) * 16, (j - 3) * 16);
+                c.worldBlockPos = ivec3(cpos.x, 0, cpos.y);
+                chunkHeightfield(cpos, hf18, w);
+                std::memcpy(c.biomeWeights.data(), w, sizeof(w));
+                for (int z = 0; z < 16; ++z)
+                    for (int x = 0; x < 16; ++x)
+                        c.heightfield[posTo2dIndex(x, z)] = hf18[(z + 1) * 18 + (x + 1)];
+                chunkLayers(cpos, hf18, w, c.layers.data());
+                c.fixBackwardStratifiedLayers();
+                chunkCaves(cpos, hf18, w, mask, cs, ce, bb, tb);
+                for (int idx = 0; idx < 256; ++idx)
+                {
+                    for (int k = 0; k < MAX_CAVE_LAYERS_PER_COLUMN; ++k)
+                    {
+                        CaveLayer &cl = c.caveLayers[idx * MAX_CAVE_LAYERS_PER_COLUMN + k];
+                        cl.start = cs[idx * 32 + k];
+                        cl.end = ce[idx * 32 + k];
+                        cl.bottomBiome = (CaveBiome)bb[idx * 32 + k];
+                        cl.topBiome = (CaveBiome)tb[idx * 32 + k];
+                    }
+                }
+                c.generateFeaturePlacements();
+            }
+        }
+        GoldenChunk &center = grid[3][3];
+        // gather order = the reference's spiral offsets (chunk.cu:1160-1171);
+        // neighborChunks[centerZ + offset.y][centerX + offset.x]
+        for (const auto &offset : gatherFeaturePlacementsChunkOffsets)
+        {
+            const GoldenChunk &nb = grid[3 + offset.y][3 + offset.x];
+            for (const auto &fp : nb.featurePlacements)
+                center.gatheredFeaturePlacements.push_back(fp);
+            for (const auto &cfp : nb.caveFeaturePlacements)
+                center.gatheredCaveFeaturePlacements.push_back(cfp);
+        }
+        const int nf = (int)center.gatheredFeaturePlacements.size();
+        const int ncf = (int)center.gatheredCaveFeaturePlacements.size();
+        fillChunk(center);
+        writeOrDie(center.blocks.data(), center.blocks.size(), f);
+        center.placeDecorators();
+        writeOrDie(center.blocks.data(), center.blocks.size(), f);
+        // trailer: gathered placement counts (diagnostics for mismatch triage)
+        int counts[2] = {nf, ncf};
+        writeOrDie(counts, sizeof(counts), f);
+        fclose(f);
+        return 0;
+    }
+
+    if (cmd == "erosion")
+    {
+        // 24x24-chunk zone grid whose corner chunk starts at block (CX, CZ);
+        // emits the pre-erosion gathered grid then the eroded grid (both
+        // [9][384][384] f32, z-major rows; row 8 = heightfield).
+        constexpr int N = 384, NC = N * N;
+        static std::vector<float> G(9 * NC);
+        static float hf18[18 * 18], weights[24 * 256], layers[20 * 256];
+        for (int cz = 0; cz < 24; ++cz)
+        {
+            for (int cx = 0; cx < 24; ++cx)
+            {
+                const ivec2 cpos = chunkPos + ivec2(cx * 16, cz * 16);
+                chunkHeightfield(cpos, hf18, weights);
+                chunkLayers(cpos, hf18, weights, layers);
+                for (int z = 0; z < 16; ++z)
+                {
+                    for (int x = 0; x < 16; ++x)
+                    {
+                        const int gi = (cz * 16 + z) * N + (cx * 16 + x);
+                        for (int l = 0; l < numErodedMaterials; ++l)
+                        {
+                            G[l * NC + gi] =
+                                layers[256 * (numStratifiedMaterials + l) + posTo2dIndex(x, z)];
+                        }
+                        G[8 * NC + gi] = hf18[(z + 1) * 18 + (x + 1)];
+                    }
+                }
+            }
+        }
+        writeOrDie(G.data(), G.size() * 4, f);
+        erodeGrid(G.data());
+        writeOrDie(G.data(), G.size() * 4, f);
+        fclose(f);
+        return 0;
+    }
 
     static float hf18[18 * 18];
     static float weights[24 * 256];
