@@ -201,7 +201,7 @@ def generate_area(
         )
         blocks_np = np.asarray(b)
 
-    return {
+    out = {
         "blocks": blocks_np.reshape(ncz, ncx, 16, 16, 384),
         "heightfield": hf_in,
         "biome_weights": w_in,
@@ -209,3 +209,6 @@ def generate_area(
         "caves": cv,
         "chunk_pos": pos_in,
     }
+    if features:
+        out["placements"] = placement_lists
+    return out

@@ -547,6 +547,66 @@ int main(int argc, char **argv)
         return 0;
     }
 
+    if (cmd == "placements")
+    {
+        // per-chunk placement LISTS for the 7x7 neighborhood of (CX, CZ) —
+        // isolates the placement pass from the block-grid application.  For
+        // each chunk (row-major j, i): i32 n_surface, then n_surface records
+        // of i32[5] {feature, x, y, z, canReplace}; i32 n_cave, then n_cave
+        // records of i32[6] {feature, x, y, z, layerHeight, canReplace}.
+        static GoldenChunk grid[7][7];
+        static float hf18[18 * 18], w[24 * 256];
+        static unsigned char mask[256 * 384];
+        static int cs[256 * 32], ce[256 * 32], bb[256 * 32], tb[256 * 32];
+        for (int j = 0; j < 7; ++j)
+        {
+            for (int i = 0; i < 7; ++i)
+            {
+                GoldenChunk &c = grid[j][i];
+                const ivec2 cpos = chunkPos + ivec2((i - 3) * 16, (j - 3) * 16);
+                c.worldBlockPos = ivec3(cpos.x, 0, cpos.y);
+                chunkHeightfield(cpos, hf18, w);
+                std::memcpy(c.biomeWeights.data(), w, sizeof(w));
+                for (int z = 0; z < 16; ++z)
+                    for (int x = 0; x < 16; ++x)
+                        c.heightfield[posTo2dIndex(x, z)] = hf18[(z + 1) * 18 + (x + 1)];
+                chunkLayers(cpos, hf18, w, c.layers.data());
+                c.fixBackwardStratifiedLayers();
+                chunkCaves(cpos, hf18, w, mask, cs, ce, bb, tb);
+                for (int idx = 0; idx < 256; ++idx)
+                {
+                    for (int k = 0; k < MAX_CAVE_LAYERS_PER_COLUMN; ++k)
+                    {
+                        CaveLayer &cl = c.caveLayers[idx * MAX_CAVE_LAYERS_PER_COLUMN + k];
+                        cl.start = cs[idx * 32 + k];
+                        cl.end = ce[idx * 32 + k];
+                        cl.bottomBiome = (CaveBiome)bb[idx * 32 + k];
+                        cl.topBiome = (CaveBiome)tb[idx * 32 + k];
+                    }
+                }
+                c.generateFeaturePlacements();
+                int n = (int)c.featurePlacements.size();
+                writeOrDie(&n, sizeof(n), f);
+                for (const auto &fp : c.featurePlacements)
+                {
+                    int rec[5] = {(int)fp.feature, fp.pos.x, fp.pos.y, fp.pos.z,
+                                  fp.canReplaceBlocks ? 1 : 0};
+                    writeOrDie(rec, sizeof(rec), f);
+                }
+                n = (int)c.caveFeaturePlacements.size();
+                writeOrDie(&n, sizeof(n), f);
+                for (const auto &cfp : c.caveFeaturePlacements)
+                {
+                    int rec[6] = {(int)cfp.feature, cfp.pos.x, cfp.pos.y, cfp.pos.z,
+                                  cfp.layerHeight, cfp.canReplaceBlocks ? 1 : 0};
+                    writeOrDie(rec, sizeof(rec), f);
+                }
+            }
+        }
+        fclose(f);
+        return 0;
+    }
+
     if (cmd == "erosion")
     {
         // 24x24-chunk zone grid whose corner chunk starts at block (CX, CZ);
