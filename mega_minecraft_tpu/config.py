@@ -37,6 +37,11 @@ class RenderConfig:
     #: semantics (basic_shaders.cu:604-664,1022-1068); slower, used to quantify the
     #: capped/stochastic fast path's bias (tools/trace_bias.py)
     exact_trace: bool = False
+    #: perturb hit normals with the normal-map atlas (blocks_normal.png,
+    #: optixRenderer.cpp:218-220).  Off by default: the reference loads the atlas
+    #: but its application is commented out (basic_shaders.cu:957-958), so "on"
+    #: is an extension, not parity.
+    mapped_normals: bool = False
 
 
 @dataclass

@@ -315,6 +315,38 @@ def _build_face_tables(diffuse_rgba, emissive_rgba):
     return tex_diff.reshape(-1), tex_emis.reshape(-1)
 
 
+def _build_normal_table(normal_rgba):
+    """[256, 256, 4] u8 normal-map PNG -> TEX_NORM u32 array (same block/face/
+    variant tiling as the diffuse table; xyz in bytes 0-2, tangent-space 0-255
+    encoding).  Parity with the reference's third atlas
+    (optixRenderer.cpp:218-220); its application is commented out in the
+    reference's shader (basic_shaders.cu:957-958), so consumption here is the
+    off-by-default config.render.mapped_normals mode."""
+    from ..world.block_uvs import BLOCK_UVS
+
+    tex_norm = np.zeros((NUM_BLOCKS, N_FACES, N_VARIANTS, 16, 16), np.uint32)
+
+    def tile(arr, tx, ty):
+        ys = (15 - ty) * 16
+        return arr[ys : ys + 16, tx * 16 : tx * 16 + 16]
+
+    for bi in range(NUM_BLOCKS):
+        name = Block(bi).name
+        entry = BLOCK_UVS.get(name)
+        if entry is None:
+            tiles, rots, flips = [(0, 0)] * 3, (False,) * 3, (False,) * 3
+        else:
+            tiles, rots, flips = [entry[0], entry[1], entry[2]], entry[3], entry[4]
+        for f in range(N_FACES):
+            nt = tile(normal_rgba, *tiles[f]).astype(np.uint32)
+            npack = nt[..., 0] | (nt[..., 1] << 8) | (nt[..., 2] << 16)
+            for var in range(N_VARIANTS):
+                rot = (var & 3) if rots[f] else 0
+                flip = bool(var & 4) and flips[f]
+                tex_norm[bi, f, var] = _variant_grid(npack, rot, flip)
+    return tex_norm.reshape(-1)
+
+
 def _procedural_face_tables():
     """Fallback when the PNG assets are absent: the procedural atlas replicated
     over faces/variants, alpha solid, per-texel emission from the block table."""
@@ -343,6 +375,12 @@ def _procedural_face_tables():
     ).reshape(-1)
 
 
+def _flat_normal_table():
+    """All-flat tangent-space normals (128, 128, 255) — the no-asset fallback."""
+    flat = np.uint32(128 | (128 << 8) | (255 << 16))
+    return np.full(NUM_BLOCKS * N_FACES * N_VARIANTS * 256, flat, np.uint32)
+
+
 def _load_atlases():
     import os
 
@@ -356,15 +394,20 @@ def _load_atlases():
             diff = np.asarray(Image.open(os.path.join(path, "blocks_diffuse.png")).convert("RGBA"))
             emis = np.asarray(Image.open(os.path.join(path, "blocks_emissive.png")).convert("RGBA"))
             td, te = _build_face_tables(diff, emis)
-            return td, te, True
+            try:  # third atlas (optixRenderer.cpp:218-220)
+                norm = np.asarray(Image.open(os.path.join(path, "blocks_normal.png")).convert("RGBA"))
+                tn = _build_normal_table(norm)
+            except Exception:
+                tn = _flat_normal_table()
+            return td, te, tn, True
         except Exception:
             pass
     td, te = _procedural_face_tables()
-    return td, te, False
+    return td, te, _flat_normal_table(), False
 
 
 #: [NUM_BLOCKS*3*8*256] u32 — see packing note above
-TEX_DIFF_PACKED, TEX_EMIS_PACKED, HAS_REAL_ATLAS = _load_atlases()
+TEX_DIFF_PACKED, TEX_EMIS_PACKED, TEX_NORM_PACKED, HAS_REAL_ATLAS = _load_atlases()
 
 #: blocks whose diffuse tiles contain zero-alpha texels (data-driven: X-shaped
 #: flora and leaf canopies with the real atlas; empty for the solid procedural

@@ -43,6 +43,7 @@ from .materials import (
     MAT_WAVY,
     TEX_DIFF_PACKED,
     TEX_EMIS_PACKED,
+    TEX_NORM_PACKED,
     mat_scalar,
     unpack_diffuse_texel,
     unpack_props,
@@ -71,6 +72,8 @@ BOUNCE_TRACE_STEPS = _RCFG.bounce_trace_steps
 SHADOW_TRACE_STEPS = _RCFG.shadow_trace_steps
 #: exact-reference trace mode default (see config.RenderConfig.exact_trace)
 EXACT_TRACE = _RCFG.exact_trace
+#: normal-map atlas perturbation (config.render.mapped_normals; off = parity)
+MAPPED_NORMALS = _RCFG.mapped_normals
 FOG_SCATTER = _RCFG.fog_scatter
 # rays are terminated once their horizontal travel saturates the fog
 # (smoothstep(220, 300) -> 1, basic_shaders.cu fogFactor); bounds the straggler
@@ -687,6 +690,7 @@ def _make_body(scene, params, depth_sink=None, exact: bool | None = None):
     props_tab = jnp.asarray(BLOCK_PROPS)
     tex_diff_tab = jnp.asarray(TEX_DIFF_PACKED)
     tex_emis_tab = jnp.asarray(TEX_EMIS_PACKED)
+    tex_norm_tab = jnp.asarray(TEX_NORM_PACKED) if MAPPED_NORMALS else None
 
     sun_y = params.sun_dir[1]
 
@@ -851,6 +855,31 @@ def _make_body(scene, params, depth_sink=None, exact: bool | None = None):
 
         # ---- specular (water/crystal) ----
         nx, ny, nz = res.nx, res.ny, res.nz
+        if MAPPED_NORMALS:
+            # normal-map atlas perturbation (config.render.mapped_normals; the
+            # third atlas of optixRenderer.cpp:218-220 — application is an
+            # extension, the reference's own is commented out).  Tangent frame
+            # follows the (fu, fv) axes used for the texel fetch above; fv grows
+            # downward on side faces, so B = the -v direction in world space.
+            ntex = tex_norm_tab[((eff_blk * 3 + face) * 8 + variant) * 256 + tv * 16 + tu]
+            tnx, tny, tnz = unpack_texel(ntex)[:3]
+            tnx, tny, tnz = tnx * 2.0 - 1.0, tny * 2.0 - 1.0, tnz * 2.0 - 1.0
+            # T, B per face: top/bottom (fu=x, fv=z); x-face (fu=z, fv=-y);
+            # z-face (fu=x, fv=-y)
+            tx = jnp.where(on_y | ~on_x, F32(1.0), F32(0.0))
+            tz = jnp.where(~on_y & on_x, F32(1.0), F32(0.0))
+            bx = jnp.zeros_like(tx)
+            by = jnp.where(on_y, F32(0.0), F32(-1.0))
+            bz = jnp.where(on_y, F32(1.0), F32(0.0))
+            pnx = tx * tnx + bx * tny + nx * tnz
+            pny = by * tny + ny * tnz
+            pnz = tz * tnx + bz * tny + nz * tnz
+            inv_n = jax.lax.rsqrt(jnp.maximum(pnx * pnx + pny * pny + pnz * pnz, 1e-12))
+            blk_is_x = (res.block >= U8(X_SHAPED_LO)) & (res.block < U8(X_SHAPED_HI))
+            use_map = h_shade & ~exit_to_air & ~blk_is_x
+            nx = jnp.where(use_map, pnx * inv_n, nx)
+            ny = jnp.where(use_map, pny * inv_n, ny)
+            nz = jnp.where(use_map, pnz * inv_n, nz)
         wavy = mat_scalar(mat, MAT_WAVY) & h_shade
         # the fBm wave normal is ~2 four-octave Perlin stacks per lane; most tiles
         # contain no water at all, so gate it on a per-tile scalar branch
