@@ -79,7 +79,7 @@ def main():
     def gather_body(words, dtype):
         def body(s, tab):
             it, x = s
-            idx = (x.astype(I32) * I32(2654435761) & I32(0x7FFFFFFF)) % I32(words)
+            idx = (x.astype(I32) * I32(-1640531527) & I32(0x7FFFFFFF)) % I32(words)
             v = tab[idx].astype(F32)
             return (it + 1, x + v * F32(1e-9) + F32(1.0))
         return body

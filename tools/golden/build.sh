@@ -22,7 +22,14 @@ CU="$REF/src/terrain/chunk.cu"
   sed -n '/^bool isFeaturePos/,/^}/p' "$CU"
   sed -n '/^__device__ void chunkFillPlaceBlock/,/^}/p' "$CU"
   sed -n '/^static const std::array<ivec2, 49> gatherFeaturePlacementsChunkOffsets/,/^};/p' "$CU"
-  sed -n '/^bool Chunk::tryGenerateCaveFeaturePlacement/,/^}/p' "$CU"
+  # tryGenerateCaveFeaturePlacement falls off the end when isFeaturePos fails
+  # (UB, chunk.cu:1027-1038).  g++ -O2 exploits that UB and DELETES the
+  # isFeaturePos check (assuming the fall-through unreachable), which placed a
+  # cave feature in EVERY eligible column (~15k/7x7 vs ~1k real).  The shipped
+  # reference is MSVC host code, where the fall-through materializes as
+  # "return false" (eax holds isFeaturePos's 0) — make that explicit.
+  sed -n '/^bool Chunk::tryGenerateCaveFeaturePlacement/,/^}/p' "$CU" \
+    | sed '$ s/^}$/    return false;\n}/'
   sed -n '/^void Chunk::generateColumnFeaturePlacements/,/^}/p' "$CU"
   sed -n '/^void Chunk::generateFeaturePlacements/,/^}/p' "$CU"
   sed -n '/^void Chunk::fixBackwardStratifiedLayers/,/^}/p' "$CU"
