@@ -166,8 +166,128 @@ def _fract(x):
     return x - jnp.floor(x)
 
 
+# --------------------------------------------------------------------------
+# Correctly-rounded f32 sin for the sin-dot hashes (MMTPU_EXACT_SIN=1).
+#
+# The hash output is fract(sin(d) * 39021.426) with |d| up to ~1e7: ONE ulp of
+# sin error perturbs the hash by ~ulp * 39021 ≈ 2-5e-3, jittering every Worley
+# point / threshold decision downstream (measured: XLA's sin is bit-identical
+# to glibc's sinf — the golden generator's — on only ~60% of hash arguments,
+# which is the root of EVERY residual golden-test epsilon).  This double-single
+# (pairs-of-f32) implementation computes sin to <~0.5 ulp using only exactly-
+# rounded f32 add/sub/mul, so it runs unchanged on TPU (no f64 there):
+#   1. quadrant k = rint(d/pi), with d/pi evaluated in double-single so k is
+#      exactly the nearest integer,
+#   2. Cody-Waite reduction r = d - k*pi with pi split into 3 f32 parts and
+#      exact Dekker products (d - p1 is exact by Sterbenz cancellation),
+#   3. odd Taylor polynomial through r^13 with the r, r^3, r^5 terms carried
+#      in double-single, the r^7 tail in plain f32 (|tail| <= 0.0045: its
+#      rounding error is < 0.05 ulp of the result).
+# --------------------------------------------------------------------------
+
+_SPLIT = F32(4097.0)  # Dekker split constant for f32 (2^12 + 1)
+
+
+def _two_prod(a, b):
+    """Exact product: a*b = p + e with p = fl(a*b) (Dekker, no FMA)."""
+    p = a * b
+    aa = a * _SPLIT
+    ah = aa - (aa - a)
+    al = a - ah
+    bb = b * _SPLIT
+    bh = bb - (bb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _two_sum(a, b):
+    """Exact sum: a+b = s + e with s = fl(a+b) (Knuth)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+# pi and 1/pi split into f32 parts (high parts are exact f32 values)
+_PI_HI = F32(3.1415927410125732)
+_PI_MED = F32(-8.742277657347586e-08)
+_PI_LO = F32(-3.4738607526237887e-15)
+_INVPI_HI = F32(0.31830987334251404)
+_INVPI_LO = F32(1.2841277486630432e-08)
+
+
+def _ds_mul(a_hi, a_lo, b_hi, b_lo):
+    p, e = _two_prod(a_hi, b_hi)
+    e = e + (a_hi * b_lo + a_lo * b_hi)
+    s, t = _two_sum(p, e)
+    return s, t
+
+
+def _ds_add(a_hi, a_lo, b_hi, b_lo):
+    s, e = _two_sum(a_hi, b_hi)
+    e = e + a_lo + b_lo
+    s2, t = _two_sum(s, e)
+    return s2, t
+
+
+#: sin Taylor coefficients c3..c13 as double-single pairs
+_SIN_COEFF = (
+    (F32(1.6059044372074283e-10), F32(-5.352526511562726e-18)),
+    (F32(-2.5052107943679403e-08), F32(-4.4176230446483665e-16)),
+    (F32(2.7557318844628753e-06), F32(3.793571224297229e-14)),
+    (F32(-0.00019841270113829523), F32(2.725596874933456e-12)),
+    (F32(0.008333333767950535), F32(-4.34617203337595e-10)),
+    (F32(-0.1666666716337204), F32(4.967053879312289e-09)),
+)
+
+
+def _sin_cr(d):
+    """sin(d) correctly rounded to f32 (<~0.5 ulp) via double-single arithmetic.
+
+    Valid for |d| <= ~2^23 * pi (hash arguments are |world coord| * O(700))."""
+    d = jnp.asarray(d, F32)
+    # quadrant: k = nearest integer to d/pi, computed from the DS value of d/pi
+    # (collapsing to one f32 first loses the fraction at large |d|)
+    q_hi, q_e = _two_prod(d, _INVPI_HI)
+    q_lo = q_e + d * _INVPI_LO
+    k0 = jnp.round(q_hi)
+    k = k0 + jnp.round((q_hi - k0) + q_lo)  # q_hi - k0 exact (<= 0.5 after round)
+    # r = d - k*pi in double-single (Cody-Waite, 3-part pi, exact products)
+    p1, e1 = _two_prod(k, _PI_HI)
+    s1 = d - p1  # exact: |d - p1| <= ~2.1 << |d| (Sterbenz)
+    t_hi, t_lo = _two_sum(s1, -e1)
+    p2, e2 = _two_prod(k, _PI_MED)
+    u_hi, u_lo = _two_sum(t_hi, -p2)
+    r_hi, r_lo = _two_sum(u_hi, u_lo + t_lo - (e2 + k * _PI_LO))
+    # sin(r) = r + r^3 * P(r^2), |r| <= pi/2 + eps, full double-single Horner
+    r2_hi, r2_lo = _ds_mul(r_hi, r_lo, r_hi, r_lo)
+    p_hi, p_lo = _SIN_COEFF[0]
+    p_hi = jnp.broadcast_to(p_hi, r_hi.shape)
+    p_lo = jnp.broadcast_to(p_lo, r_hi.shape)
+    for c_hi, c_lo in _SIN_COEFF[1:]:
+        p_hi, p_lo = _ds_mul(p_hi, p_lo, r2_hi, r2_lo)
+        p_hi, p_lo = _ds_add(p_hi, p_lo, jnp.broadcast_to(c_hi, r_hi.shape), jnp.broadcast_to(c_lo, r_hi.shape))
+    r3_hi, r3_lo = _ds_mul(r2_hi, r2_lo, r_hi, r_lo)
+    t_hi2, t_lo2 = _ds_mul(r3_hi, r3_lo, p_hi, p_lo)
+    s_hi, s_lo = _ds_add(r_hi, r_lo, t_hi2, t_lo2)
+    sin_r = s_hi + s_lo
+    # parity: sin(d) = (-1)^k sin(r)
+    odd = k - F32(2.0) * jnp.floor(k * F32(0.5)) != F32(0.0)
+    return jnp.where(odd, -sin_r, sin_r)
+
+
+import os as _os  # noqa: E402
+
+#: exact-sin mode: hash sin matches the golden generator's glibc sinf on ~98%
+#: of arguments instead of ~60% (default from config.terrain.exact_sin; the
+#: env var wins so tests can force it per-process)
+EXACT_SIN = _os.environ.get("MMTPU_EXACT_SIN", "0") == "1"
+
+
 def _sinhash(d):
-    return _fract(jnp.sin(d) * F32(39021.426))
+    s = _sin_cr(d) if EXACT_SIN else jnp.sin(d)
+    return _fract(s * F32(39021.426))
 
 
 def rand1_from1(v):

@@ -451,6 +451,40 @@ void emitNoise(FILE *f)
         thrust::uniform_real_distribution<float> u01(0, 1);
         return u01(rng);
     });
+    // carve-formula terms at REAL world coordinates of the (592,-368) chunk
+    // (mask band mismatch triage): noisePos = world * 0.005, y sweep 0..96
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return fbm<4>(np * 0.07f);
+    });
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return fbm<4>(np * 4.0f);
+    });
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return fbm3From3<5>(np * 0.8f).x * 1.8f;
+    });
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        vec3 off = fbm3From3<5>(np * 0.8f) * 1.8f;
+        return specialCaveNoise(np * vec3(1.f, 1.6f, 1.f) + off);
+    });
+    // specialCaveNoise WITHOUT the fbm offset (pure grid fn, isolates the
+    // primitive from offset error propagation)
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return specialCaveNoise(np * vec3(1.f, 1.6f, 1.f));
+    });
+    // the y and z components of fbm3From3<5> (x already dumped above)
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return fbm3From3<5>(np * 0.8f).y * 1.8f;
+    });
+    dump([](int i, int j) {
+        vec3 np = vec3((592 + (i % 16)) * 0.005f, (j * 2 + i / 16) * 0.005f, (-368 + (i % 16) + j) * 0.005f);
+        return fbm3From3<5>(np * 0.8f).z * 1.8f;
+    });
 }
 
 } // namespace

@@ -1,0 +1,57 @@
+"""Sweep render tile shapes at 540p on the 9x9 scene (lock-step waste tuning).
+
+The band DDA loop runs to its slowest lane; smaller/squarer tiles raise ray
+coherence (fewer wasted lock-step iterations) but add per-tile overhead.
+Run alone (ONE TPU process at a time):  python tools/tile_sweep.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+from mega_minecraft_tpu.render import brickmap, camera, sky, tracer
+from mega_minecraft_tpu.terrain import pipeline
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
+    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
+    np.asarray(scene.flat[:1])
+    hmax = float(np.asarray(area["heightfield"]).max())
+    player = camera.Player(
+        pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
+    )
+    params = sky.sky_params(1.0, 0.0)
+    W, H = 960, 540
+    cam = player.camera_params(W, H)
+
+    render = jax.jit(
+        tracer.render_sample,
+        static_argnames=("height", "width", "tile_rows", "tile_cols"),
+    )
+    for tr, tc in [(4, None), (2, None), (8, None), (4, 120), (4, 240), (8, 120), (2, 120), (6, 160)]:
+        try:
+            c, a, n = render(scene, cam, params, H, W, jnp.int32(0), tile_rows=tr, tile_cols=tc)
+            np.asarray(c[0, 0, 0])
+            reps = 4
+            t0 = time.time()
+            for fid in range(1, reps + 1):
+                c, a, n = render(scene, cam, params, H, W, jnp.int32(fid), tile_rows=tr, tile_cols=tc)
+            np.asarray(c[0, 0, 0])
+            dt = (time.time() - t0) / reps
+            print(f"  tile ({tr} x {tc or W}): {dt*1e3:6.0f} ms/frame", flush=True)
+        except Exception as e:
+            print(f"  tile ({tr} x {tc}): failed {repr(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
