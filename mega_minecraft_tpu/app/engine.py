@@ -79,6 +79,12 @@ class Engine:
 
     def __init__(self, cfg: EngineConfig | None = None):
         self.cfg = cfg or EngineConfig()
+        # hash-sin mode from the config tree (before any stage program traces;
+        # MMTPU_EXACT_SIN env wins inside set_exact_sin)
+        from .. import config as config_mod
+        from ..ops import hashes as hashes_mod
+
+        hashes_mod.set_exact_sin(config_mod.load_config().terrain.exact_sin)
         self.player = camera.Player()
         # zone erosion needs the full 24x24 gathered chunk grid (12x12 core +
         # 6-chunk halo, terrain.hpp:17-19); under a clipped spiral radius < 18 no

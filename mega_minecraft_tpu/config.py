@@ -32,6 +32,10 @@ class RenderConfig:
     max_trace_steps: int = 320
     bounce_trace_steps: int = 96
     shadow_trace_steps: int = 64
+    #: DDA steps per while_loop iteration: >1 amortizes per-iteration loop
+    #: overhead at the cost of up to N-1 wasted (alive-masked) sub-steps after
+    #: the last lane resolves
+    dda_unroll: int = 1
     #: exact-reference trace mode: bounce/shadow marches uncapped (= max_trace_steps)
     #: and exact (park-and-resolve) alpha cutout on ALL ray types — the reference's
     #: semantics (basic_shaders.cu:604-664,1022-1068); slower, used to quantify the
@@ -57,6 +61,12 @@ class TerrainConfig:
     lava_level: int = 8  # biome.hpp:11
     capacity: int = 8192  # chunk slot table size (replaces chunk-id pool)
     stage_batch: int = 16
+    #: correctly-rounded hash sin (ops.hashes._sin_cr): terrain decisions match
+    #: the reference bit-for-bit on ~98.5% more threshold cases (golden cave-mask
+    #: agreement 95.6% -> 99.94% on the worst chunk).  Costs extra VPU work in
+    #: every noise evaluation; see the measured generation delta in README.
+    #: The MMTPU_EXACT_SIN env var wins over this field (read at import).
+    exact_sin: bool = False
 
 
 @dataclass

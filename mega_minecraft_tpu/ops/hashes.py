@@ -280,9 +280,20 @@ def _sin_cr(d):
 import os as _os  # noqa: E402
 
 #: exact-sin mode: hash sin matches the golden generator's glibc sinf on ~98%
-#: of arguments instead of ~60% (default from config.terrain.exact_sin; the
-#: env var wins so tests can force it per-process)
+#: of arguments instead of ~60%.  Priority: MMTPU_EXACT_SIN env var (read at
+#: import, wins so tests can force it per-process) > set_exact_sin() (e.g. from
+#: config.terrain.exact_sin at engine init) > off.
 EXACT_SIN = _os.environ.get("MMTPU_EXACT_SIN", "0") == "1"
+
+
+def set_exact_sin(on: bool) -> None:
+    """Flip the hash-sin mode.  Must be called BEFORE the first trace of any
+    jitted program that hashes (already-compiled programs keep their mode);
+    the MMTPU_EXACT_SIN env var takes precedence when set."""
+    global EXACT_SIN
+    if "MMTPU_EXACT_SIN" in _os.environ:
+        return
+    EXACT_SIN = bool(on)
 
 
 def _sinhash(d):

@@ -74,6 +74,8 @@ SHADOW_TRACE_STEPS = _RCFG.shadow_trace_steps
 EXACT_TRACE = _RCFG.exact_trace
 #: normal-map atlas perturbation (config.render.mapped_normals; off = parity)
 MAPPED_NORMALS = _RCFG.mapped_normals
+#: DDA steps per while_loop iteration (config.render.dda_unroll)
+DDA_UNROLL = getattr(_RCFG, "dda_unroll", 1)
 FOG_SCATTER = _RCFG.fog_scatter
 # rays are terminated once their horizontal travel saturates the fog
 # (smoothstep(220, 300) -> 1, basic_shaders.cu fogFactor); bounds the straggler
@@ -192,7 +194,7 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
     inv_dy_abs = F32(1.0) / jnp.maximum(jnp.abs(dy), F32(1e-6))
     inv_maxc = F32(1.0) / jnp.maximum(h_inf, jnp.abs(dy))
 
-    def body(state):
+    def _step(state):
         t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step = state
         lane_steps = lane_steps + alive.astype(I32)
         px = ox + dx * t
@@ -341,6 +343,14 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         coarse = (coarse & ~descend) | (alive & ~coarse & is_air_medium & sat)
         alive = alive & (t < t_out)
         return t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step + 1
+
+    def body(state):
+        # DDA_UNROLL > 1 amortizes per-iteration while_loop overhead (sync +
+        # dispatch) over several masked steps; the cond's max_steps bound then
+        # overshoots by at most UNROLL-1 masked sub-steps (all alive-gated)
+        for _ in range(DDA_UNROLL):
+            state = _step(state)
+        return state
 
     def cond(state):
         alive = state[1]

@@ -28,6 +28,13 @@ if _force:
 # compiled binaries instead of paying minutes of XLA time again.
 import jax as _jax  # noqa: E402
 
+# Exact hash sin (ops.hashes._sin_cr) on the TPU backend: golden tests then
+# match the reference's glibc-built generator on ~98.5% of sin-hash draws
+# (worst-chunk cave-mask agreement 95.6% -> 99.94%).  NOT enabled on CPU-only
+# boxes — the double-single sin inflates XLA:CPU compile times severely.
+if _jax.default_backend() != "cpu":
+    os.environ.setdefault("MMTPU_EXACT_SIN", "1")
+
 _jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("MMTPU_XLA_CACHE_DIR", "/tmp/mmtpu_xla_cache"),
