@@ -49,6 +49,19 @@ def _mod289(x):
     return x - jnp.floor(x * F32(1.0 / 289.0)) * F32(289.0)
 
 
+def _glm_mod289_lattice(x):
+    """``glm::mod(x, vec(289))`` = ``x - 289*floor(x/289)`` (func_common.inl:217),
+    the OUTER lattice wrap of glm's 2D simplex — a correctly-rounded division,
+    i.e. the true floored mod for integer-valued lattice coords (CUDA single
+    division is IEEE-exact too).  This is NOT the same as detail::mod289's
+    multiply-by-reciprocal form (``_mod289``): that one returns 289 instead of 0
+    at negative multiples of 289 once ``|x| >= ~144k``, which flipped whole
+    gradient cells vs the reference at far world coordinates.  Computed in i32
+    (jnp.mod is floored) so the result is backend-independent — TPU f32 division
+    is not guaranteed correctly rounded."""
+    return jnp.mod(x.astype(jnp.int32), jnp.int32(289)).astype(F32)
+
+
 def _permute(x):
     return _mod289((x * F32(34.0) + F32(1.0)) * x)
 
@@ -66,10 +79,13 @@ def simplex2(px, py):
     Cz = F32(-0.577350269189626)
     Cw = F32(0.024390243902439)
 
-    s = (px + py) * Cy
+    # glm evaluates the skew factors as dot products — two products then a sum
+    # (noise.inl:599-600) — NOT (px+py)*Cy; the rounding difference flips
+    # floor() at cell boundaries, so match it exactly.
+    s = px * Cy + py * Cy
     ix = jnp.floor(px + s)
     iy = jnp.floor(py + s)
-    t = (ix + iy) * Cx
+    t = ix * Cx + iy * Cx
     x0x = px - ix + t
     x0y = py - iy + t
 
@@ -82,8 +98,8 @@ def simplex2(px, py):
     x12z = x0x + Cz
     x12w = x0y + Cz
 
-    imx = ix - jnp.floor(ix * F32(1.0 / 289.0)) * F32(289.0)
-    imy = iy - jnp.floor(iy * F32(1.0 / 289.0)) * F32(289.0)
+    imx = _glm_mod289_lattice(ix)
+    imy = _glm_mod289_lattice(iy)
 
     p0 = _permute(_permute(imy) + imx)
     p1 = _permute(_permute(imy + i1y) + imx + i1x)
@@ -129,11 +145,13 @@ def simplex3(px, py, pz):
     C_x = F32(1.0 / 6.0)
     C_y = F32(1.0 / 3.0)
 
-    s = (px + py + pz) * C_y
+    # dot-product evaluation order (three products, left-assoc sum) matches glm
+    # noise.inl:654-655 — see the simplex2 note.
+    s = px * C_y + py * C_y + pz * C_y
     ix = jnp.floor(px + s)
     iy = jnp.floor(py + s)
     iz = jnp.floor(pz + s)
-    t = (ix + iy + iz) * C_x
+    t = ix * C_x + iy * C_x + iz * C_x
     x0x = px - ix + t
     x0y = py - iy + t
     x0z = pz - iz + t

@@ -34,6 +34,49 @@ U8 = jnp.uint8
 AIR = U8(int(Block.AIR))
 
 
+#: XZ half-extent of each SURFACE feature's geometry (blocks), measured by
+#: tools/sdf_extents.py + margin — sizes the application window in
+#: apply_placements_area.  A too-small radius CLIPS the feature (drops blocks);
+#: tests/test_features.py::TestWindows pins table >= probe.
+SURFACE_XZ_RADIUS = {
+    int(fd.Feature.SPHERE): 7,  # probe 5
+    int(fd.Feature.CORAL): 9,  # probe 6
+    int(fd.Feature.KELP): 3,  # probe 0 (vertical strand)
+    int(fd.Feature.ICEBERG): 39,  # probe 33-36 over 144 seeds
+    int(fd.Feature.ACACIA_TREE): 10,  # probe 7
+    int(fd.Feature.REDWOOD_TREE): 14,  # probe 11
+    int(fd.Feature.CYPRESS_TREE): 12,  # probe 9
+    int(fd.Feature.BIRCH_TREE): 6,  # probe 3
+    int(fd.Feature.PINE_TREE): 5,  # probe 2
+    int(fd.Feature.PINE_SHRUB): 4,  # probe 2
+    int(fd.Feature.RAFFLESIA): 9,  # probe 7
+    int(fd.Feature.LARGE_JUNGLE_TREE): 11,  # probe 8
+    int(fd.Feature.SMALL_JUNGLE_TREE): 7,  # probe 4
+    int(fd.Feature.TINY_JUNGLE_TREE): 3,  # probe 1
+    int(fd.Feature.MEDIUM_PURPLE_MUSHROOM): 4,  # probe 2
+    int(fd.Feature.PURPLE_MUSHROOM): 47,  # probe 41 over 144 seeds
+    int(fd.Feature.MEDIUM_CRYSTAL): 13,  # probe 10
+    int(fd.Feature.CRYSTAL): 25,  # probe 21
+    int(fd.Feature.PALM_TREE): 16,  # probe 13
+    int(fd.Feature.CACTUS): 4,  # probe 2
+}
+
+#: (xz_radius, y_anchor) for CAVE features: "floor" = near the layer bottom
+#: (placement y), "ceil" = near the layer top (y + layer_height), "full" =
+#: spans the layer (whole-column window).
+CAVE_WINDOWS = {
+    int(fd.CaveFeature.TEST_GLOWSTONE_PILLAR): (3, "full"),  # probe 0
+    int(fd.CaveFeature.TEST_SHROOMLIGHT_PILLAR): (3, "full"),  # probe 0
+    int(fd.CaveFeature.CAVE_VINE): (3, "full"),  # probe 0 (vertical strand)
+    int(fd.CaveFeature.GLOWSTONE_CLUSTER): (8, "ceil"),  # probe 5
+    int(fd.CaveFeature.STORMLIGHT_SPHERE): (10, "floor"),  # probe 7
+    int(fd.CaveFeature.CEILING_STORMLIGHT_SPHERE): (10, "ceil"),  # probe 7
+    int(fd.CaveFeature.CRYSTAL_PILLAR): (7, "full"),  # probe 4
+    int(fd.CaveFeature.WARPED_FUNGUS): (6, "floor"),  # probe 3
+    int(fd.CaveFeature.AMBER_FUNGUS): (5, "floor"),  # probe 2
+}
+
+
 def _dispatch_tables(registry: dict, n_types: int):
     """Build a lax.switch branch list over feature type ids."""
 
@@ -142,14 +185,12 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
     the 49-gather performs.
 
     The reference ALSO truncates each consumer's gathered list at
-    MAX_GATHERED_*_PER_CHUNK = 2048/4096 (chunk.cu:1573-1596) — and real worlds
-    EXCEED the cave cap routinely (~400 cave placements/chunk × 49 ≈ 20k
-    gathered; measured by the block-grid goldens), so most cave placements past
-    the first ~10 spiral offsets never apply.  That truncation is emulated
-    exactly: a placement is visible to a consumer chunk iff its gathered rank
-    (per-consumer prefix count over the spiral order + within-chunk slot) is
-    below the cap, using the TRUE per-chunk counts carried by
-    ``lists["count"]``.
+    MAX_GATHERED_*_PER_CHUNK = 2048/4096 (chunk.cu:1573-1596).  Real worlds
+    stay far below those caps (~10 surface / ~30 cave placements per 49-gather),
+    but the truncation is still emulated exactly: a placement is visible to a
+    consumer chunk iff its gathered rank (per-consumer prefix count over the
+    spiral order + within-chunk slot) is below the cap, using the TRUE
+    per-chunk counts carried by ``lists["count"]``.
 
     Args:
       area_blocks: [ncz*16, ncx*16, 384] u8 (chunk rows z-major).
@@ -175,24 +216,14 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
         else bio.MAX_GATHERED_FEATURES_PER_CHUNK
     )
 
-    lx = jnp.arange(nx, dtype=I32)
-    lz = jnp.arange(nz, dtype=I32)
-    wx = jnp.broadcast_to(origin_xz[0] + lx[None, :, None], (nz, nx, 384))
-    wz = jnp.broadcast_to(origin_xz[1] + lz[:, None, None], (nz, nx, 384))
-    wy = jnp.broadcast_to(jnp.arange(384, dtype=I32), (nz, nx, 384))
-
     if cave:
-        registry = _dispatch_tables(sdf.CAVE_FEATURE_FNS, fd.NUM_CAVE_FEATURES)
         bounds = jnp.asarray(fd.CAVE_FEATURE_HEIGHT_BOUNDS)
         feat_seed = sdf.SEED_CAVE_FEATURE_RNG
         block_seed = sdf.SEED_CAVE_BLOCK_RNG
     else:
-        registry = _dispatch_tables(sdf.SURFACE_FEATURE_FNS, fd.NUM_FEATURES)
         bounds = jnp.asarray(fd.FEATURE_HEIGHT_BOUNDS)
         feat_seed = sdf.SEED_SURFACE_FEATURE_RNG
         block_seed = sdf.SEED_SURFACE_BLOCK_RNG
-
-    brng0 = hashes.seed_4(wx, wy, wz, block_seed)
 
     # static spiral-rank maps: rank_maps[src_b, vz, vx] = gathered position of
     # source chunk src_b in consumer chunk (vz, vx)'s spiral, or BIG if > 3 away
@@ -240,6 +271,18 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
     src_b = (order // K).astype(I32)
     slot = (order % K).astype(I32)
 
+    # Each placement is applied over a per-type WINDOW (dynamic_slice around the
+    # placement), not the whole area: the windows dominate every SDF's measured
+    # extent (tools/sdf_extents.py; pinned by tests/test_features.py) and shrink
+    # the per-placement work 5-75x vs a full-area evaluation.  y windows derive
+    # from the same height-bounds tables the candidate rule clips with, so they
+    # can't drop blocks by construction; XZ radii come from the extent probe.
+    if cave:
+        win_tab = {f: CAVE_WINDOWS.get(f, (15, "full")) for f in range(fd.NUM_CAVE_FEATURES)}
+    else:
+        win_tab = {f: (SURFACE_XZ_RADIUS.get(f, 31), "floor") for f in range(fd.NUM_FEATURES)}
+    bounds_np = fd.CAVE_FEATURE_HEIGHT_BOUNDS if cave else fd.FEATURE_HEIGHT_BOUNDS
+
     def body(state):
         i, best_key, best_block = state
         feat = flat["feature"][i]
@@ -257,35 +300,84 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
             hi = py + bounds[feat, 1]
 
         stream = sdf.draw_stream(px, py, pz, feat_seed)
-        fx = wx - px
-        fy = wy - py
-        fz = wz - pz
         extra = {"fy_pos": py, "fpos": (px, py, pz), "layer_height": layer_h}
+        slot_i = slot[i]
 
-        def run(fn):
-            return lambda: fn(stream, fx, fy, fz, wx, wy, wz, brng0, extra)
+        def make_branch(fid, fn):
+            if fn is None:
+                return lambda: (best_key, best_block)
+            r, ymode = win_tab[fid]
+            W = min(nz, nx)
+            for w in (16, 32, 48, 64, 80):
+                if 2 * r + 2 <= w <= min(nz, nx):
+                    W = w
+                    break
+            b_lo, b_hi = int(bounds_np[fid, 0]), int(bounds_np[fid, 1])
+            if ymode == "full":
+                y_len = 384
+            elif ymode == "floor" and not cave:
+                y_len = min(384, ((b_hi - b_lo + 4) + 15) // 16 * 16)
+            else:
+                y_len = min(384, 96)
 
-        hit, fblock, _ = jax.lax.switch(feat, [run(f) for f in registry])
-        # per-voxel priority: gathered position in the voxel's own chunk's spiral
-        rm = jnp.take(rank_maps, src_b[i], axis=0)  # [ncz, ncx]
-        key = (rm * I32(K) + slot[i]).astype(jnp.int32)
-        key = jnp.where(rm >= I32(BIG), KEY_INF, key)
-        # per-consumer gather-cap truncation (chunk.cu:1573-1596): this
-        # placement's gathered index in each consumer chunk's list
-        pr = jnp.take_along_axis(
-            prefix.reshape(ncz, ncx, -1), rm[:, :, None], axis=2
-        )[:, :, 0]
-        key = jnp.where(pr + slot[i] < I32(gather_cap), key, KEY_INF)
-        key = jnp.repeat(jnp.repeat(key, 16, axis=0), 16, axis=1)[:, :, None]
-        candidate = (
-            ((area_blocks == AIR) | can_replace)
-            & (wy >= lo)
-            & (wy <= hi)
-            & hit
-            & (key < best_key)
+            def go():
+                z0 = jnp.clip(pz - origin_xz[1] - I32(W // 2 - 1), 0, nz - W)
+                x0 = jnp.clip(px - origin_xz[0] - I32(W // 2 - 1), 0, nx - W)
+                if ymode == "full" or y_len == 384:
+                    y0 = I32(0)
+                elif ymode == "ceil":
+                    y0 = jnp.clip(py + layer_h + I32(b_hi + 2 - y_len), 0, 384 - y_len)
+                else:
+                    y0 = jnp.clip(py + I32(b_lo - 2), 0, 384 - y_len)
+                az = jnp.arange(W, dtype=I32)
+                ay = jnp.arange(y_len, dtype=I32)
+                shape = (W, W, y_len)
+                wzw = jnp.broadcast_to(origin_xz[1] + z0 + az[:, None, None], shape)
+                wxw = jnp.broadcast_to(origin_xz[0] + x0 + az[None, :, None], shape)
+                wyw = jnp.broadcast_to(y0 + ay[None, None, :], shape)
+                brng_w = hashes.seed_4(wxw, wyw, wzw, block_seed)
+                hit, fblock, _ = fn(
+                    stream, wxw - px, wyw - py, wzw - pz, wxw, wyw, wzw, brng_w, extra
+                )
+                hit = jnp.broadcast_to(hit, shape)
+                fblock = jnp.broadcast_to(fblock, shape)
+                # per-voxel priority: gathered position in the voxel's own
+                # chunk's spiral (+ the reference's per-consumer gather-cap
+                # truncation, chunk.cu:1573-1596)
+                cz = (z0 + az) // 16
+                cx = (x0 + az) // 16
+                rm_full = jnp.take(rank_maps, src_b[i], axis=0)  # [ncz, ncx]
+                rm = rm_full[cz[:, None], cx[None, :]]  # [W, W]
+                key = (rm * I32(K) + slot_i).astype(jnp.int32)
+                key = jnp.where(rm >= I32(BIG), KEY_INF, key)
+                cb = cz[:, None] * I32(ncx) + cx[None, :]
+                pr = prefix[cb, jnp.clip(rm, 0, I32(BIG))]
+                key = jnp.where(pr + slot_i < I32(gather_cap), key, KEY_INF)
+                key = key[:, :, None]
+                blocks_w = jax.lax.dynamic_slice(area_blocks, (z0, x0, y0), shape)
+                bk = jax.lax.dynamic_slice(best_key, (z0, x0, y0), shape)
+                bb = jax.lax.dynamic_slice(best_block, (z0, x0, y0), shape)
+                cand = (
+                    ((blocks_w == AIR) | can_replace)
+                    & (wyw >= lo)
+                    & (wyw <= hi)
+                    & hit
+                    & (key < bk)
+                )
+                bk = jnp.where(cand, key, bk)
+                bb = jnp.where(cand, fblock, bb)
+                return (
+                    jax.lax.dynamic_update_slice(best_key, bk, (z0, x0, y0)),
+                    jax.lax.dynamic_update_slice(best_block, bb, (z0, x0, y0)),
+                )
+
+            return go
+
+        fns = sdf.CAVE_FEATURE_FNS if cave else sdf.SURFACE_FEATURE_FNS
+        n_types = fd.NUM_CAVE_FEATURES if cave else fd.NUM_FEATURES
+        best_key, best_block = jax.lax.switch(
+            feat, [make_branch(fid, fns.get(fid)) for fid in range(n_types)]
         )
-        best_key = jnp.where(candidate, key, best_key)
-        best_block = jnp.where(candidate, fblock, best_block)
         return i + 1, best_key, best_block
 
     def cond(state):

@@ -378,3 +378,69 @@ class TestAreaEqualitySynthetic:
         finally:
             sdf.SURFACE_FEATURE_FNS, sdf.CAVE_FEATURE_FNS = old_s, old_c
             jax.clear_caches()
+
+
+@pytest.mark.slow
+class TestWindows:
+    """Application windows (features.SURFACE_XZ_RADIUS / CAVE_WINDOWS) must
+    DOMINATE each SDF's geometric extent — a too-small window clips the feature
+    and silently drops blocks.  Probes each builder at random placements over a
+    grid wider than its declared window (tools/sdf_extents.py methodology)."""
+
+    def _probe(self, fn, cave, radius, n_seeds=24):
+        from mega_minecraft_tpu.ops import hashes
+        from mega_minecraft_tpu.terrain import features_sdf as sdf
+
+        import jax
+
+        R = radius + 8
+        I32, F32 = jnp.int32, jnp.float32
+        gx = jnp.arange(-R, R + 1, dtype=I32)
+        gy = jnp.arange(-16, 150, dtype=I32)
+        fx = gx[None, :, None].astype(F32)
+        fz = gx[:, None, None].astype(F32)
+        fy = gy[None, None, :].astype(F32)
+        brng0 = hashes.seed_3(jnp.zeros((), I32), jnp.zeros((), I32), 7777)
+
+        @jax.jit
+        def one(px, py, pz, lh):
+            stream = sdf.draw_stream(px, py, pz, 12345)
+            wx = px + fx.astype(I32)
+            wy = py + fy.astype(I32)
+            wz = pz + fz.astype(I32)
+            extra = {"fy_pos": py, "fpos": (px, py, pz), "layer_height": lh}
+            hit, _, _ = fn(stream, fx, fy, fz, wx, wy, wz, brng0, extra)
+            hit = jnp.broadcast_to(hit, (2 * R + 1, 2 * R + 1, 166))
+            return hit.any(axis=2)
+
+        rng = np.random.default_rng(3)
+        worst = 0
+        for _ in range(n_seeds):
+            h = np.asarray(
+                one(
+                    jnp.asarray(int(rng.integers(-9000, 9000)), jnp.int32),
+                    jnp.asarray(int(rng.integers(30, 240)), jnp.int32),
+                    jnp.asarray(int(rng.integers(-9000, 9000)), jnp.int32),
+                    jnp.asarray(int(rng.integers(4, 120)) if cave else 0, jnp.int32),
+                )
+            )
+            zs, xs = np.where(h)
+            if xs.size:
+                worst = max(worst, int(np.abs(xs - R).max()), int(np.abs(zs - R).max()))
+        return worst
+
+    @pytest.mark.parametrize("fid", sorted(__import__("mega_minecraft_tpu.terrain.features_sdf", fromlist=["x"]).SURFACE_FEATURE_FNS))
+    def test_surface_window_dominates(self, fid):
+        from mega_minecraft_tpu.terrain import features_sdf as sdf
+
+        r = fm.SURFACE_XZ_RADIUS[fid]
+        worst = self._probe(sdf.SURFACE_FEATURE_FNS[fid], cave=False, radius=r)
+        assert worst <= r, (fid, worst, r)
+
+    @pytest.mark.parametrize("fid", sorted(__import__("mega_minecraft_tpu.terrain.features_sdf", fromlist=["x"]).CAVE_FEATURE_FNS))
+    def test_cave_window_dominates(self, fid):
+        from mega_minecraft_tpu.terrain import features_sdf as sdf
+
+        r = fm.CAVE_WINDOWS[fid][0]
+        worst = self._probe(sdf.CAVE_FEATURE_FNS[fid], cave=True, radius=r)
+        assert worst <= r, (fid, worst, r)
