@@ -66,6 +66,11 @@ def _remaining_budget() -> float:
 
 
 def _leg_setup():
+    # pin the hash-sin mode BEFORE any trace: golden-exact sin is the TPU
+    # default (tests/conftest.py) and the traced program differs per mode, so
+    # an inconsistent env here would MISS the persistent cache warmed by the
+    # suite/drive runs and pay ~15 min of XLA time again (round-3 failure mode)
+    os.environ.setdefault("MMTPU_EXACT_SIN", "1")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache")
@@ -163,16 +168,38 @@ def leg_erosion():
 
 
 def leg_render():
-    """Static 9×9 scene, 540p + 1080p 1spp (BASELINE config 4), warm ms/frame."""
+    """Static 10×10 scene, 540p + 1080p 1spp (BASELINE config 4), warm ms/frame.
+
+    The scene tiles FOUR runs of the exact fused 5×5 program the generation leg
+    just compiled (same shapes, same flags ⇒ cache hit), instead of a 9×9-shape
+    program that would cost its own ~15 min cold compile before the first render
+    number can exist (round-3 failure: the render leg never started)."""
     import jax.numpy as jnp
     import numpy as np
 
     from mega_minecraft_tpu.render import brickmap, camera, denoise, sky, tracer
     from mega_minecraft_tpu.terrain import pipeline
 
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-    hmax = float(np.asarray(area["heightfield"]).max())
+    n = 5
+    _mark("render scene: 4 fused 5x5 tiles...")
+    rows, hmax = [], 0.0
+    for tz in range(2):
+        row = []
+        for tx in range(2):
+            cx0, cz0 = -n + tx * n, -n + tz * n
+            pos_h = []
+            for cz in range(cz0 - 1, cz0 + n + 1):
+                for cx in range(cx0 - 1, cx0 + n + 1):
+                    pos_h.append([cx * 16, cz * 16])
+            out = pipeline.generate_area_fused(
+                jnp.asarray(np.array(pos_h, np.int32)), n, n, features=True
+            )
+            row.append(np.asarray(out["blocks"]).reshape(n, n, 16, 16, 384))
+            hmax = max(hmax, float(np.asarray(out["heightfield"]).max()))
+        rows.append(np.concatenate(row, axis=1))
+    blocks = np.concatenate(rows, axis=0)  # [10, 10, 16, 16, 384]
+    _mark("render scene: brickmap build...")
+    scene = brickmap.build_scene(jnp.asarray(blocks), -n, -n)
     player = camera.Player(
         pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
     )
@@ -227,7 +254,10 @@ def leg_render():
 
 def leg_all():
     _leg_setup()
-    for fn in (leg_generation, leg_erosion, leg_render):
+    # render BEFORE erosion: the north-star render metric must land on the
+    # scoreboard even if the budget expires mid-run (erosion only refines the
+    # already-printed headline's amortization term)
+    for fn in (leg_generation, leg_render, leg_erosion):
         try:
             fn()
         except Exception as e:  # keep later legs alive; the parent records it
@@ -280,7 +310,7 @@ def main():
     extra = {}
     gen_per_chunk = None
     erosion_per_chunk = 0.0
-    legs = ["generation", "erosion", "render"]
+    legs = ["generation", "render", "erosion"]
     cur = 0
     # per-leg stall deadline: reset whenever the child emits a leg line
     deadline = time.time() + LEG_TIMEOUT_S[legs[0]]
@@ -340,10 +370,11 @@ def main():
             i = legs.index(leg)
             if i >= cur:
                 cur = i + 1
-            if cur < len(legs):
-                deadline = time.time() + LEG_TIMEOUT_S[legs[cur]]
-            else:
-                deadline = time.time() + LEG_TIMEOUT_S["render"]  # 1080p follow-up
+            # allow the larger of: the next leg's budget, or the emitting leg's
+            # own budget again (render prints a partial line before its 1080p
+            # follow-up, which may still have a compile ahead of it)
+            nxt = LEG_TIMEOUT_S[legs[cur]] if cur < len(legs) else 0.0
+            deadline = time.time() + max(nxt, LEG_TIMEOUT_S[leg])
 
     headline()
 

@@ -209,12 +209,16 @@ def _two_sum(a, b):
     return s, e
 
 
-# pi and 1/pi split into f32 parts (high parts are exact f32 values)
+# pi and 1/pi split into f32 parts: each part is the f32 rounding of the
+# EXACT residual after the previous parts (chained from 60-digit pi via
+# Fraction, NOT from f64 pi — deriving from f64 pi bakes the pi - pi_f64
+# ~1.2e-16 residual into the split, which costs k0 * 1.2e-16 ~ 0.2 ulp of
+# reduction error at |d| ~ 1e9).  Residual after all three parts: 2.1e-23.
 _PI_HI = F32(3.1415927410125732)
 _PI_MED = F32(-8.742277657347586e-08)
-_PI_LO = F32(-3.4738607526237887e-15)
+_PI_LO = F32(-3.4302490200117637e-15)
 _INVPI_HI = F32(0.31830987334251404)
-_INVPI_LO = F32(1.2841277486630432e-08)
+_INVPI_LO = F32(1.2841276486597053e-08)
 
 
 def _ds_mul(a_hi, a_lo, b_hi, b_lo):
@@ -231,8 +235,10 @@ def _ds_add(a_hi, a_lo, b_hi, b_lo):
     return s2, t
 
 
-#: sin Taylor coefficients c3..c13 as double-single pairs
+#: sin Taylor coefficients c3..c15 as double-single pairs (c15 matters: the
+#: r^15 truncation ~6.7e-10 at |r|=pi/2 misrounds ~0.06% of draws near |sin|=1)
 _SIN_COEFF = (
+    (F32(-7.647163609812713e-13), F32(-1.2200710471178288e-20)),
     (F32(1.6059044372074283e-10), F32(-5.352526511562726e-18)),
     (F32(-2.5052107943679403e-08), F32(-4.4176230446483665e-16)),
     (F32(2.7557318844628753e-06), F32(3.793571224297229e-14)),
@@ -245,21 +251,33 @@ _SIN_COEFF = (
 def _sin_cr(d):
     """sin(d) correctly rounded to f32 (<~0.5 ulp) via double-single arithmetic.
 
-    Valid for |d| <= ~2^23 * pi (hash arguments are |world coord| * O(700))."""
+    Valid for |d| <= ~2^40.  The quadrant integer k = round(d/pi) exceeds f32's
+    24-bit integer range once |d| > ~2^23*pi, so it is carried as an EXACT pair
+    (k0, k1): k0 = round(fl(d*invpi_hi)) inherits q_hi's coarse ulp (a multiple
+    of a power of two, hence exactly representable), k1 = the small correction
+    integer (|k1| <= ~0.5*ulp(q_hi) + |d|*invpi_lo <= a few hundred at 2^33).
+    Feature-placement hashes need this: isFeaturePos seeds reach
+    feature*518721*640.88 ~ 6.6e9 (chunk.cu:999-1008,1134), where the previous
+    single-f32 k collapsed and the reduction landed in the wrong quadrant."""
     d = jnp.asarray(d, F32)
     # quadrant: k = nearest integer to d/pi, computed from the DS value of d/pi
     # (collapsing to one f32 first loses the fraction at large |d|)
     q_hi, q_e = _two_prod(d, _INVPI_HI)
     q_lo = q_e + d * _INVPI_LO
     k0 = jnp.round(q_hi)
-    k = k0 + jnp.round((q_hi - k0) + q_lo)  # q_hi - k0 exact (<= 0.5 after round)
-    # r = d - k*pi in double-single (Cody-Waite, 3-part pi, exact products)
-    p1, e1 = _two_prod(k, _PI_HI)
-    s1 = d - p1  # exact: |d - p1| <= ~2.1 << |d| (Sterbenz)
+    k1 = jnp.round((q_hi - k0) + q_lo)  # q_hi - k0 exact (Sterbenz); k1 small
+    # r = d - (k0 + k1)*pi in double-single (Cody-Waite, 3-part pi, exact
+    # products of EACH k part; k0+k1 would not be exact in one f32)
+    p1, e1 = _two_prod(k0, _PI_HI)
+    s1 = d - p1  # exact: |d - p1| << |d| (Sterbenz)
     t_hi, t_lo = _two_sum(s1, -e1)
-    p2, e2 = _two_prod(k, _PI_MED)
+    p1b, e1b = _two_prod(k1, _PI_HI)
+    t_hi, t2 = _two_sum(t_hi, -p1b)
+    t_lo = t_lo + t2 - e1b
+    p2, e2 = _two_prod(k0, _PI_MED)
     u_hi, u_lo = _two_sum(t_hi, -p2)
-    r_hi, r_lo = _two_sum(u_hi, u_lo + t_lo - (e2 + k * _PI_LO))
+    k = k0 + k1  # fine in f32 from here: only feeds O(1e-5) correction terms
+    r_hi, r_lo = _two_sum(u_hi, u_lo + t_lo - (e2 + k1 * _PI_MED + k * _PI_LO))
     # sin(r) = r + r^3 * P(r^2), |r| <= pi/2 + eps, full double-single Horner
     r2_hi, r2_lo = _ds_mul(r_hi, r_lo, r_hi, r_lo)
     p_hi, p_lo = _SIN_COEFF[0]
@@ -272,9 +290,12 @@ def _sin_cr(d):
     t_hi2, t_lo2 = _ds_mul(r3_hi, r3_lo, p_hi, p_lo)
     s_hi, s_lo = _ds_add(r_hi, r_lo, t_hi2, t_lo2)
     sin_r = s_hi + s_lo
-    # parity: sin(d) = (-1)^k sin(r)
-    odd = k - F32(2.0) * jnp.floor(k * F32(0.5)) != F32(0.0)
-    return jnp.where(odd, -sin_r, sin_r)
+    # parity: sin(d) = (-1)^(k0+k1) sin(r).  k0+k1 is inexact in one f32 at
+    # large |d|, so XOR the parts' parities (each exact: k0's halving is a
+    # power-of-two scale, k1 is small).
+    odd0 = k0 - F32(2.0) * jnp.floor(k0 * F32(0.5)) != F32(0.0)
+    odd1 = k1 - F32(2.0) * jnp.floor(k1 * F32(0.5)) != F32(0.0)
+    return jnp.where(odd0 ^ odd1, -sin_r, sin_r)
 
 
 import os as _os  # noqa: E402

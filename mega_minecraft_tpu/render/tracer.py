@@ -102,7 +102,8 @@ class TraceResult(NamedTuple):
 
 
 def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRACE_STEPS,
-          active=None, want_steps: bool = False, alpha: str = "exact", seed=None):
+          active=None, want_steps: bool = False, alpha: str = "exact", seed=None,
+          use_macro: bool = True):
     """Distance-field DDA from (o, d) in world space: ONE u8 gather per step; empty
     space is skipped by the Chebyshev distance stored in the field (brickmap.py).
     medium: u8 block id the ray currently travels through (AIR / WATER / crystal).
@@ -340,7 +341,10 @@ def trace(scene: Scene, ox, oy, oz, dx, dy, dz, medium, max_steps: int = MAX_TRA
         sat = jnp.where(
             ascending, up_b >= F32(63.0), (c8_b >= F32(63.0)) | (sky_q >= F32(8.0))
         )
-        coarse = (coarse & ~descend) | (alive & ~coarse & is_air_medium & sat)
+        if use_macro:  # static: use_macro=False pins single-level traversal
+            coarse = (coarse & ~descend) | (alive & ~coarse & is_air_medium & sat)
+        else:
+            coarse = coarse & False
         alive = alive & (t < t_out)
         return t, alive, hit, hit_block, hit_x, x_use_a, pending, coarse, lane_steps, step + 1
 

@@ -84,7 +84,12 @@ class TestSinHash:
             tol = 3e-5
         else:
             s = np.sin(d)
-            tol = 2e-5  # XLA sin vs numpy sin: both ~1 ulp of f32
+            # XLA's sin and numpy's may differ by a few f32 ulps; the x39021
+            # amplification turns EACH ulp into ~4.6e-3 of hash movement, so
+            # this branch can only pin the formula structure (dot coefficients
+            # + scale — a wrong constant shifts results by ~0.25 on average),
+            # not the sin rounding.  The CR branch above is the tight gate.
+            tol = 0.02
         want = s * np.float32(39021.426)
         want = want - np.floor(want)
         got = np.asarray(hashes.rand1_from2(jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1])))
@@ -96,6 +101,32 @@ class TestSinHash:
         a = np.asarray(hashes.rand3_from3(1.0, 2.0, 3.0))
         b = np.asarray(hashes.rand3_from3(1.0, 2.0, 3.0))
         np.testing.assert_array_equal(a, b)
+
+    def test_sin_cr_placement_seed_range(self):
+        # isFeaturePos (chunk.cu:999-1008) hashes grid corners with seeds up to
+        # feature*518721 (chunk.cu:1134), so sin-dot args reach |d| ~ 6.6e9 —
+        # far past 2^23*pi.  The round-3 _sin_cr collapsed the quadrant integer
+        # there (wrong-quadrant sin -> every placement displaced, the r3
+        # block-grid golden regression).  Pin: correctly-rounded vs f64 at a
+        # <=1e-4 mismatch rate across the real placement-seed argument range.
+        rng = np.random.RandomState(7)
+        feats = np.arange(1, 31)
+        seeds = np.concatenate(
+            [feats * 518721, (feats[:, None] * 98239 + np.arange(32)[None, :] * 191702).ravel()]
+        ).astype(np.float32)
+        g = rng.randint(-20000, 20000, (200, 2)).astype(np.float32)
+        d = (
+            (g[:, 0:1] * np.float32(238.68) + g[:, 1:2] * np.float32(491.28))
+            + seeds[None, :] * np.float32(640.88)
+        ).astype(np.float32).ravel()
+        ours = np.asarray(hashes._sin_cr(jnp.asarray(d)))
+        ref = np.sin(d.astype(np.float64)).astype(np.float32)
+        rate = (ours != ref).mean()
+        assert rate < 1e-4, f"CR sin mismatch rate {rate} over placement-seed args"
+        # and the matches must dominate even in the top magnitude decade
+        big = np.abs(d) > 1e9
+        assert big.any()
+        assert (ours[big] != ref[big]).mean() < 1e-4
 
 
 class TestSimplex:

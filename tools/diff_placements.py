@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mmtpu_xla_cache_cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MMTPU_XLA_CACHE_DIR", "/tmp/mmtpu_xla_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 

@@ -42,7 +42,10 @@ CU="$REF/src/terrain/chunk.cu"
 # -ffp-contract=off: keep f32 expression results stable (no host FMA fusion);
 # the reference device build uses fast math, so goldens are "reference logic
 # at IEEE f32" — tests compare with documented epsilons.
-g++ -O2 -std=c++17 -ffp-contract=off \
+# -fno-builtin: keep every sin call a real symbol reference so the
+# correctly-rounded sinf override in golden_gen.cpp intercepts ALL of them
+# (gcc would otherwise fold/transform sinf through its builtin knowledge).
+g++ -O2 -std=c++17 -ffp-contract=off -fno-builtin \
     -I "$HERE/stubs" -I "$HERE" -I "$REF/src" -I "$REF/external/include" \
     "$HERE/golden_gen.cpp" -o "$OUT"
 echo "built $OUT"

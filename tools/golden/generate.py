@@ -48,7 +48,9 @@ def main():
     tmp = "/tmp/golden_raw.bin"
 
     run([BIN, "noise", tmp])
-    raw = np.fromfile(tmp, np.float32).reshape(len(NOISE_PLANES), 48, 48)
+    # golden_gen emits the 8 named planes plus triage planes (carve-formula
+    # terms, see emitNoise) — only the named ones are packaged
+    raw = np.fromfile(tmp, np.float32).reshape(-1, 48, 48)[: len(NOISE_PLANES)]
     np.savez_compressed(
         os.path.join(OUT_DIR, "golden_noise.npz"),
         **{name: raw[i] for i, name in enumerate(NOISE_PLANES)},
