@@ -177,33 +177,12 @@ def leg_render():
     import jax.numpy as jnp
     import numpy as np
 
-    from mega_minecraft_tpu.render import brickmap, camera, denoise, sky, tracer
-    from mega_minecraft_tpu.terrain import pipeline
+    from mega_minecraft_tpu.render import denoise, tracer
+    from tools import scenelib
 
-    n = 5
     _mark("render scene: 4 fused 5x5 tiles...")
-    rows, hmax = [], 0.0
-    for tz in range(2):
-        row = []
-        for tx in range(2):
-            cx0, cz0 = -n + tx * n, -n + tz * n
-            pos_h = []
-            for cz in range(cz0 - 1, cz0 + n + 1):
-                for cx in range(cx0 - 1, cx0 + n + 1):
-                    pos_h.append([cx * 16, cz * 16])
-            out = pipeline.generate_area_fused(
-                jnp.asarray(np.array(pos_h, np.int32)), n, n, features=True
-            )
-            row.append(np.asarray(out["blocks"]).reshape(n, n, 16, 16, 384))
-            hmax = max(hmax, float(np.asarray(out["heightfield"]).max()))
-        rows.append(np.concatenate(row, axis=1))
-    blocks = np.concatenate(rows, axis=0)  # [10, 10, 16, 16, 384]
-    _mark("render scene: brickmap build...")
-    scene = brickmap.build_scene(jnp.asarray(blocks), -n, -n)
-    player = camera.Player(
-        pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
-    )
-    params = sky.sky_params(1.0, 0.0)
+    scene, player, params, _hmax = scenelib.benchmark_scene()
+    _mark("render scene: brickmap built")
     deadline = _T0 + BENCH_BUDGET_S
 
     def run(H, W, reps=4):

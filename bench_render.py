@@ -40,16 +40,20 @@ def run(H, W, scene, cam, params, reps=8, compact=False):
 def main():
     from mega_minecraft_tpu.render import brickmap, camera, denoise, sky
     from mega_minecraft_tpu.terrain import pipeline
+    from tools import scenelib
 
     t0 = time.time()
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
+    if "--scene=9x9" in sys.argv:  # legacy scene (own ~15 min cold compile)
+        area = pipeline.generate_area(-4, -4, 9, 9, features=True)
+        scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
+        hmax = float(np.asarray(area["heightfield"]).max())
+        player = camera.Player(
+            pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
+        )
+        params = sky.sky_params(1.0, 0.0)
+    else:  # default: the shared tiled 10x10 scene (ONE cached program, scenelib)
+        scene, player, params, hmax = scenelib.benchmark_scene()
     gen_s = time.time() - t0
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-    hmax = float(np.asarray(area["heightfield"]).max())
-    player = camera.Player(
-        pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
-    )
-    params = sky.sky_params(1.0, 0.0)
 
     W, H = 1920, 1080
     cam = player.camera_params(W, H)

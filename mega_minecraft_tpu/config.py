@@ -61,10 +61,17 @@ class TerrainConfig:
     lava_level: int = 8  # biome.hpp:11
     capacity: int = 8192  # chunk slot table size (replaces chunk-id pool)
     stage_batch: int = 16
-    #: correctly-rounded hash sin (ops.hashes._sin_cr): terrain decisions match
-    #: the reference bit-for-bit on ~98.5% more threshold cases (golden cave-mask
-    #: agreement 95.6% -> 99.94% on the worst chunk).  Costs extra VPU work in
-    #: every noise evaluation; see the measured generation delta in README.
+    #: golden-exact arithmetic mode (ops.hashes): correctly-rounded hash sin
+    #: (_sin_cr), divide/sqrt (div_cr/sqrt_cr — the TPU VPU's own are ~65%/57%
+    #: correctly rounded) and reassociation-pinned simplex3 skew sums
+    #: (strict_sum).  With it, feature placements match the reference's lists
+    #: EXACTLY (diff_placements: 0/49 chunks at the worst-case block grid) and
+    #: the terrain noise planes are bit-equal to the reference-compiled golden
+    #: generator.  Measured cost (v5e, 5x5 fused generation, round 4):
+    #: featureless 1074.7 -> 692 chunks/s (~36% tax, almost all from _sin_cr in
+    #: the noise stacks).  Default OFF: production generation wants the speed;
+    #: parity tests force it on the TPU backend (tests/conftest.py) and
+    #: bench.py benchmarks WITH it enabled, so the headline includes the tax.
     #: The MMTPU_EXACT_SIN env var wins over this field (read at import).
     exact_sin: bool = False
 

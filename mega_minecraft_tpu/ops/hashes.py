@@ -16,6 +16,7 @@ outputs match.  Integer state is uint32; the LCG advance uses Schrage's algorith
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
@@ -320,6 +321,64 @@ def set_exact_sin(on: bool) -> None:
 def _sinhash(d):
     s = _sin_cr(d) if EXACT_SIN else jnp.sin(d)
     return _fract(s * F32(39021.426))
+
+
+# --------------------------------------------------------------------------
+# Correctly-rounded f32 divide / sqrt (exact mode).  The TPU VPU's divide and
+# sqrt are Newton-refined approximations, correctly rounded on only ~65% /
+# ~57% of inputs (measured on v5e) — every worley distance and cave ratio then
+# drifts 1 ulp from the golden generator's IEEE ops, flipping threshold
+# decisions (cave-layer boundaries ±1 block, round-4's last block-grid
+# residual).  One exact-residual correction step (Dekker two_prod gives the
+# exact remainder in f32) lands the approximation on the correctly-rounded
+# value: the correction term is the residual scaled by the approximate
+# reciprocal — O(ulp), so its own rounding cannot push the sum past a second
+# boundary.  Verified bit-equal to IEEE over 10^6 random draws per range in
+# tools/sin_twin_check-style probes; pinned by tests/test_ops.py.
+# --------------------------------------------------------------------------
+
+
+def div_cr(a, b):
+    """a / b correctly rounded to f32 (exact mode), plain divide otherwise."""
+    a = jnp.asarray(a, F32)
+    b = jnp.asarray(b, F32)
+    q = a / b
+    if not EXACT_SIN:
+        return q
+    p, e = _two_prod(q, b)
+    r = (a - p) - e  # exact residual a - q*b (|r| <= ulp(a))
+    return q + r / b
+
+
+def sqrt_cr(x):
+    """sqrt(x) correctly rounded to f32 (exact mode), plain sqrt otherwise."""
+    x = jnp.asarray(x, F32)
+    s = jnp.sqrt(x)
+    if not EXACT_SIN:
+        return s
+    p, e = _two_prod(s, s)
+    r = (x - p) - e  # exact residual x - s*s
+    fix = r / (s + s)
+    return jnp.where(x > F32(0.0), s + fix, s)
+
+
+def strict_sum(*terms):
+    """Left-associated sum with each term pinned behind an optimization
+    barrier: XLA's algebraic simplifier rewrites a·C + b·C (+ c·C) into
+    (a + b (+ c))·C — one rounding instead of per-term roundings — which
+    breaks bit-equality with the golden generator's strict IEEE evaluation
+    (measured: ~50% of simplex3 skew sums differ 1 ulp).  Used at the
+    same-constant dot sites in ops/noise.py's 3-D simplex.  Plain (fast) mode
+    keeps the bare sum — the factored rewrite is XLA's win there."""
+    if not EXACT_SIN:
+        acc = jnp.asarray(terms[0], F32)
+        for t in terms[1:]:
+            acc = acc + jnp.asarray(t, F32)
+        return acc
+    acc = jax.lax.optimization_barrier(jnp.asarray(terms[0], F32))
+    for t in terms[1:]:
+        acc = acc + jax.lax.optimization_barrier(jnp.asarray(t, F32))
+    return acc
 
 
 def rand1_from1(v):

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .hashes import rand2_from2, rand3_from2, rand3_from3
+from .hashes import div_cr, rand2_from2, rand3_from2, rand3_from3, sqrt_cr, strict_sum
 
 F32 = jnp.float32
 
@@ -146,12 +146,14 @@ def simplex3(px, py, pz):
     C_y = F32(1.0 / 3.0)
 
     # dot-product evaluation order (three products, left-assoc sum) matches glm
-    # noise.inl:654-655 — see the simplex2 note.
-    s = px * C_y + py * C_y + pz * C_y
+    # noise.inl:654-655 — see the simplex2 note.  strict_sum pins the per-term
+    # roundings: XLA's simplifier otherwise factors x·C + y·C + z·C into
+    # (x+y+z)·C, 1 ulp off the reference's IEEE evaluation ~50% of the time.
+    s = strict_sum(px * C_y, py * C_y, pz * C_y)
     ix = jnp.floor(px + s)
     iy = jnp.floor(py + s)
     iz = jnp.floor(pz + s)
-    t = ix * C_x + iy * C_x + iz * C_x
+    t = strict_sum(ix * C_x, iy * C_x, iz * C_x)
     x0x = px - ix + t
     x0y = py - iy + t
     x0z = pz - iz + t
@@ -333,7 +335,7 @@ def worley2(px, py, want_color: bool = False, want_edge: bool = False):
             rx, ry = rand2_from2(ix + F32(ox), iy + F32(oy))
             dx = F32(ox) + rx - fx
             dy = F32(oy) + ry - fy
-            d = jnp.sqrt(dx * dx + dy * dy)
+            d = sqrt_cr(dx * dx + dy * dy)
             is1 = d < min1
             is2 = jnp.logical_and(~is1, d < min2)
             min2 = jnp.where(is1, min1, jnp.where(is2, d, min2))
@@ -374,7 +376,7 @@ def worley3(px, py, pz, want_color: bool = False, want_edge: bool = False):
                 dx = F32(ox) + rx - fx
                 dy = F32(oy) + ry - fy
                 dz = F32(oz) + rz - fz
-                d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                d = sqrt_cr(dx * dx + dy * dy + dz * dz)
                 is1 = d < min1
                 is2 = jnp.logical_and(~is1, d < min2)
                 min2 = jnp.where(is1, min1, jnp.where(is2, d, min2))
@@ -414,7 +416,7 @@ def special_cave_noise(px, py, pz):
                 dx = F32(ox) + rx - fx
                 dy = F32(oy) + ry - fy
                 dz = F32(oz) + rz - fz
-                d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                d = sqrt_cr(dx * dx + dy * dy + dz * dz)
                 is1 = d < min1
                 is2 = jnp.logical_and(~is1, d < min2)
                 is3 = jnp.logical_and(jnp.logical_and(~is1, ~is2), d < min3)
@@ -425,4 +427,4 @@ def special_cave_noise(px, py, pz):
                 min2 = jnp.where(is1, min1, jnp.where(is2, d, min2))
                 min1 = jnp.where(is1, d, min1)
 
-    return min3 / min1 - F32(1.0)
+    return div_cr(min3, min1) - F32(1.0)

@@ -282,115 +282,136 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
     else:
         win_tab = {f: (SURFACE_XZ_RADIUS.get(f, 31), "floor") for f in range(fd.NUM_FEATURES)}
     bounds_np = fd.CAVE_FEATURE_HEIGHT_BOUNDS if cave else fd.FEATURE_HEIGHT_BOUNDS
+    fns = sdf.CAVE_FEATURE_FNS if cave else sdf.SURFACE_FEATURE_FNS
+    n_types = fd.NUM_CAVE_FEATURES if cave else fd.NUM_FEATURES
 
-    def body(state):
-        i, best_key, best_block = state
-        feat = flat["feature"][i]
-        px = flat["x"][i]
-        py = flat["y"][i]
-        pz = flat["z"][i]
-        can_replace = flat["replace"][i] > 0
-        if cave:
-            layer_h = flat["height"][i]
-            lo = py + bounds[feat, 0]
-            hi = py + layer_h + bounds[feat, 1]
+    # ------------------------------------------------------------------
+    # Batched per-TYPE application (the round-3 serial while_loop over one
+    # placement at a time left the VPU idle: ~40 surface + ~100 cave
+    # placements × one small window each serialized into ~1.3 ms/iteration).
+    # Per feature type: its placements are compacted to the front (order
+    # preserved), then a while_loop consumes them P at a time — the P SDF
+    # evaluations run as ONE vmapped program over [P, W, W, ylen] lanes, and
+    # the combine is a short unrolled chain of window min-updates.  The
+    # per-voxel winner rule (min spiral-rank key) is order-independent, so
+    # processing placements grouped by type is exact.  key and block are
+    # packed into ONE i32 (key·256 | block; keys < 49·K ≤ 50 176 so the pack
+    # fits in 26 bits) — the min-combine then carries the winning block for
+    # free and the loop state is a single [nz, nx, 384] i32.
+    # ------------------------------------------------------------------
+    NK = B * K
+    feat_all = flat["feature"]
+    INF = jnp.int32(0x7FFFFFFF)
+    assert int(BIG) * K * 256 < 2**31  # key·256|block pack never reaches INF
+
+    def window_geom(fid):
+        r, ymode = win_tab[fid]
+        W = min(nz, nx)
+        for w in (16, 32, 48, 64, 80):
+            if 2 * r + 2 <= w <= min(nz, nx):
+                W = w
+                break
+        b_lo, b_hi = int(bounds_np[fid, 0]), int(bounds_np[fid, 1])
+        if ymode == "full":
+            y_len = 384
+        elif ymode == "floor" and not cave:
+            y_len = min(384, ((b_hi - b_lo + 4) + 15) // 16 * 16)
         else:
-            layer_h = I32(0)
-            lo = py + bounds[feat, 0]
-            hi = py + bounds[feat, 1]
+            y_len = min(384, 96)
+        return W, y_len, ymode, b_lo, b_hi
 
-        stream = sdf.draw_stream(px, py, pz, feat_seed)
-        extra = {"fy_pos": py, "fpos": (px, py, pz), "layer_height": layer_h}
-        slot_i = slot[i]
+    def run_type(fid, fn, packed_best):
+        W, y_len, ymode, b_lo, b_hi = window_geom(fid)
+        # batch width: target ~1M-voxel vmapped programs, ≤8 combine unrolls
+        P = int(np.clip((1 << 20) // (W * W * y_len), 1, 8))
+        is_t = feat_all == I32(fid)
+        cnt = is_t.sum().astype(I32)
+        sel = jnp.argsort(jnp.where(is_t, jnp.arange(NK, dtype=I32), I32(2**30)))
+        sel = jnp.concatenate([sel.astype(I32), jnp.zeros((P,), I32)])
 
-        def make_branch(fid, fn):
-            if fn is None:
-                return lambda: (best_key, best_block)
-            r, ymode = win_tab[fid]
-            W = min(nz, nx)
-            for w in (16, 32, 48, 64, 80):
-                if 2 * r + 2 <= w <= min(nz, nx):
-                    W = w
-                    break
-            b_lo, b_hi = int(bounds_np[fid, 0]), int(bounds_np[fid, 1])
-            if ymode == "full":
-                y_len = 384
-            elif ymode == "floor" and not cave:
-                y_len = min(384, ((b_hi - b_lo + 4) + 15) // 16 * 16)
+        def eval_one(px, py, pz, layer_h, rep, sb, sl, valid):
+            lo = py + bounds[fid, 0]
+            hi = py + (layer_h if cave else I32(0)) + bounds[fid, 1]
+            z0 = jnp.clip(pz - origin_xz[1] - I32(W // 2 - 1), 0, nz - W)
+            x0 = jnp.clip(px - origin_xz[0] - I32(W // 2 - 1), 0, nx - W)
+            if ymode == "full" or y_len == 384:
+                y0 = I32(0)
+            elif ymode == "ceil":
+                y0 = jnp.clip(py + layer_h + I32(b_hi + 2 - y_len), 0, 384 - y_len)
             else:
-                y_len = min(384, 96)
+                y0 = jnp.clip(py + I32(b_lo - 2), 0, 384 - y_len)
+            az = jnp.arange(W, dtype=I32)
+            ay = jnp.arange(y_len, dtype=I32)
+            shape = (W, W, y_len)
+            wzw = jnp.broadcast_to(origin_xz[1] + z0 + az[:, None, None], shape)
+            wxw = jnp.broadcast_to(origin_xz[0] + x0 + az[None, :, None], shape)
+            wyw = jnp.broadcast_to(y0 + ay[None, None, :], shape)
+            brng_w = hashes.seed_4(wxw, wyw, wzw, block_seed)
+            stream = sdf.draw_stream(px, py, pz, feat_seed)
+            extra = {"fy_pos": py, "fpos": (px, py, pz),
+                     "layer_height": layer_h if cave else I32(0)}
+            hit, fblock, _ = fn(
+                stream, wxw - px, wyw - py, wzw - pz, wxw, wyw, wzw, brng_w, extra
+            )
+            hit = jnp.broadcast_to(hit, shape) & (wyw >= lo) & (wyw <= hi) & valid
+            fblock = jnp.broadcast_to(fblock, shape)
+            # per-voxel priority: gathered position in the voxel's own chunk's
+            # spiral (+ the reference's per-consumer gather-cap truncation,
+            # chunk.cu:1573-1596)
+            czc = (z0 + az) // 16
+            cxc = (x0 + az) // 16
+            rm = rank_maps[sb][czc[:, None], cxc[None, :]]  # [W, W]
+            key = rm * I32(K) + sl
+            key = jnp.where(rm >= I32(BIG), INF, key)
+            cb = czc[:, None] * I32(ncx) + cxc[None, :]
+            pr = prefix[cb, jnp.clip(rm, 0, I32(BIG))]
+            key = jnp.where(pr + sl < I32(gather_cap), key, INF)
+            pc = jnp.where(
+                hit & (key[:, :, None] < INF),
+                key[:, :, None] * I32(256) + fblock.astype(I32),
+                INF,
+            )
+            return z0, x0, y0, pc, rep
 
-            def go():
-                z0 = jnp.clip(pz - origin_xz[1] - I32(W // 2 - 1), 0, nz - W)
-                x0 = jnp.clip(px - origin_xz[0] - I32(W // 2 - 1), 0, nx - W)
-                if ymode == "full" or y_len == 384:
-                    y0 = I32(0)
-                elif ymode == "ceil":
-                    y0 = jnp.clip(py + layer_h + I32(b_hi + 2 - y_len), 0, 384 - y_len)
-                else:
-                    y0 = jnp.clip(py + I32(b_lo - 2), 0, 384 - y_len)
-                az = jnp.arange(W, dtype=I32)
-                ay = jnp.arange(y_len, dtype=I32)
-                shape = (W, W, y_len)
-                wzw = jnp.broadcast_to(origin_xz[1] + z0 + az[:, None, None], shape)
-                wxw = jnp.broadcast_to(origin_xz[0] + x0 + az[None, :, None], shape)
-                wyw = jnp.broadcast_to(y0 + ay[None, None, :], shape)
-                brng_w = hashes.seed_4(wxw, wyw, wzw, block_seed)
-                hit, fblock, _ = fn(
-                    stream, wxw - px, wyw - py, wzw - pz, wxw, wyw, wzw, brng_w, extra
-                )
-                hit = jnp.broadcast_to(hit, shape)
-                fblock = jnp.broadcast_to(fblock, shape)
-                # per-voxel priority: gathered position in the voxel's own
-                # chunk's spiral (+ the reference's per-consumer gather-cap
-                # truncation, chunk.cu:1573-1596)
-                cz = (z0 + az) // 16
-                cx = (x0 + az) // 16
-                rm_full = jnp.take(rank_maps, src_b[i], axis=0)  # [ncz, ncx]
-                rm = rm_full[cz[:, None], cx[None, :]]  # [W, W]
-                key = (rm * I32(K) + slot_i).astype(jnp.int32)
-                key = jnp.where(rm >= I32(BIG), KEY_INF, key)
-                cb = cz[:, None] * I32(ncx) + cx[None, :]
-                pr = prefix[cb, jnp.clip(rm, 0, I32(BIG))]
-                key = jnp.where(pr + slot_i < I32(gather_cap), key, KEY_INF)
-                key = key[:, :, None]
-                blocks_w = jax.lax.dynamic_slice(area_blocks, (z0, x0, y0), shape)
-                bk = jax.lax.dynamic_slice(best_key, (z0, x0, y0), shape)
-                bb = jax.lax.dynamic_slice(best_block, (z0, x0, y0), shape)
-                cand = (
-                    ((blocks_w == AIR) | can_replace)
-                    & (wyw >= lo)
-                    & (wyw <= hi)
-                    & hit
-                    & (key < bk)
-                )
-                bk = jnp.where(cand, key, bk)
-                bb = jnp.where(cand, fblock, bb)
-                return (
-                    jax.lax.dynamic_update_slice(best_key, bk, (z0, x0, y0)),
-                    jax.lax.dynamic_update_slice(best_block, bb, (z0, x0, y0)),
-                )
+        ev = jax.vmap(eval_one)
 
-            return go
+        def body(state):
+            i, packed_best = state
+            idxb = jax.lax.dynamic_slice(sel, (i,), (P,))
+            valid = (i + jnp.arange(P, dtype=I32)) < cnt
+            px = flat["x"][idxb]
+            py = flat["y"][idxb]
+            pz = flat["z"][idxb]
+            rep = flat["replace"][idxb] > 0
+            lh = flat["height"][idxb] if cave else jnp.zeros((P,), I32)
+            z0, x0, y0, pc, repv = ev(px, py, pz, lh, rep, src_b[idxb], slot[idxb], valid)
+            for j in range(P):
+                start = (z0[j], x0[j], y0[j])
+                shape = pc.shape[1:]
+                blocks_w = jax.lax.dynamic_slice(area_blocks, start, shape)
+                ok = (blocks_w == AIR) | repv[j]
+                win = jax.lax.dynamic_slice(packed_best, start, shape)
+                win = jnp.minimum(win, jnp.where(ok, pc[j], INF))
+                packed_best = jax.lax.dynamic_update_slice(packed_best, win, start)
+            return i + I32(P), packed_best
 
-        fns = sdf.CAVE_FEATURE_FNS if cave else sdf.SURFACE_FEATURE_FNS
-        n_types = fd.NUM_CAVE_FEATURES if cave else fd.NUM_FEATURES
-        best_key, best_block = jax.lax.switch(
-            feat, [make_branch(fid, fns.get(fid)) for fid in range(n_types)]
+        _, packed_best = jax.lax.while_loop(
+            lambda s: s[0] < cnt, body, (jnp.int32(0), packed_best)
         )
-        return i + 1, best_key, best_block
+        return packed_best
 
-    def cond(state):
-        i, _, _ = state
-        return (i < B * K) & (flat["feature"][i] != 0)
+    packed_best = jnp.full((nz, nx, 384), INF, jnp.int32)
+    for fid in range(n_types):
+        fn = fns.get(fid)
+        if fn is None:
+            continue
+        packed_best = run_type(fid, fn, packed_best)
 
-    best_key0 = jnp.full((nz, nx, 384), KEY_INF, jnp.int32)
-    best_block0 = jnp.zeros((nz, nx, 384), U8)
-    _, best_key, best_block = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), best_key0, best_block0)
+    placed = packed_best != INF
+    return (
+        jnp.where(placed, (packed_best & I32(0xFF)).astype(U8), area_blocks),
+        placed,
     )
-    placed = best_key != KEY_INF
-    return jnp.where(placed, best_block, area_blocks), placed
 
 
 @partial(jax.jit, static_argnames=("ncx", "ncz"))

@@ -61,11 +61,13 @@ def _sel(hit, block_val, base_block):
 
 
 def _length2(x, z):
-    return jnp.sqrt(x * x + z * z)
+    # sqrt_cr: TPU sqrt is ~57% correctly rounded (v5e); 1-ulp length drift
+    # moved whole SDF shells vs the golden (the round-4 purple-mushroom diff)
+    return hashes.sqrt_cr(x * x + z * z)
 
 
 def _length3(x, y, z):
-    return jnp.sqrt(x * x + y * y + z * z)
+    return hashes.sqrt_cr(x * x + y * y + z * z)
 
 
 def _in_range(v, lo, hi):
@@ -77,7 +79,7 @@ def _line_params(px, py, pz, ax, ay, az, bx, by, bz):
     vx, vy, vz = bx - ax, by - ay, bz - az
     wx_, wy_, wz_ = px - ax, py - ay, pz - az
     denom = vx * vx + vy * vy + vz * vz
-    ratio = (wx_ * vx + wy_ * vy + wz_ * vz) / jnp.where(denom == 0, F32(1e-9), denom)
+    ratio = hashes.div_cr(wx_ * vx + wy_ * vy + wz_ * vz, jnp.where(denom == 0, F32(1e-9), denom))
     lx, ly, lz = vx * ratio, vy * ratio, vz * ratio
     dist = _length3(wx_ - lx, wy_ - ly, wz_ - lz)
     return ratio, dist, (ratio >= 0.0) & (ratio <= 1.0)
@@ -523,10 +525,10 @@ def _feat_purple_mushroom(s, fx, fy, fz, wx, wy, wz, brng, extra):
         else:
             prevx, prevy, prevz = spline[5]
             dx_, dy_, dz_ = ax - prevx, ay - prevy, az - prevz
-            n = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+            n = hashes.sqrt_cr(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
             n = jnp.where(n == 0, F32(1e-9), n)
             ext = F32(3.0) + s[15] * F32(1.5)
-            bx, by, bz = ax + dx_ / n * ext, ay + dy_ / n * ext, az + dz_ / n * ext
+            bx, by, bz = (ax + hashes.div_cr(dx_, n) * ext, ay + hashes.div_cr(dy_, n) * ext, az + hashes.div_cr(dz_, n) * ext)
             band = jnp.ones(jnp.shape(fx), bool)
         ratio, dist, in01 = _line_params(px, py, pz, ax + 0 * px, ay + 0 * px, az + 0 * px, bx + 0 * px, by + 0 * px, bz + 0 * px)
         if i < 6:
@@ -535,7 +537,7 @@ def _feat_purple_mushroom(s, fx, fy, fz, wx, wy, wz, brng, extra):
             radius = (F32(4.0) * xq * xq + F32(1.5)) * F32(1.2)
             pot_block = jnp.broadcast_to(_u8(_B.MUSHROOM_STEM), jnp.shape(fx))
         else:
-            radius = (F32(7.0) * s[16] + F32(12.0)) * (F32(0.8) + F32(0.4) * jnp.clip((height - F32(33.0)) / F32(40.0), 0.0, 1.0))
+            radius = (F32(7.0) * s[16] + F32(12.0)) * (F32(0.8) + F32(0.4) * jnp.clip(hashes.div_cr(height - F32(33.0), F32(40.0)), 0.0, 1.0))
             underside = (dist < radius - 1.8) & (ratio < 0.5) & (universal < F32(1.4))
             pot_block = jnp.where(underside, _u8(_B.MUSHROOM_UNDERSIDE), _u8(_B.PURPLE_MUSHROOM_CAP))
         seg_hit = (in01 & (dist <= radius)) | (

@@ -9,6 +9,7 @@ below with Python integer arithmetic) plus property tests for the float noise.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from mega_minecraft_tpu.ops import hashes, noise
@@ -127,6 +128,46 @@ class TestSinHash:
         big = np.abs(d) > 1e9
         assert big.any()
         assert (ours[big] != ref[big]).mean() < 1e-4
+
+    def test_div_sqrt_cr(self):
+        # The TPU VPU's divide/sqrt are Newton approximations, correctly
+        # rounded on only ~65%/~57% of inputs (measured on v5e) — the worley
+        # distances and cave ratios then drift 1 ulp from the golden
+        # generator's IEEE ops.  div_cr/sqrt_cr add one exact-residual
+        # correction; pin bit-equality vs IEEE (numpy) in exact mode.
+        if not hashes.EXACT_SIN:
+            pytest.skip("plain mode: native divide/sqrt by design")
+        rng = np.random.RandomState(11)
+        a = np.concatenate(
+            [rng.uniform(1e-3, 4.0, 100000), rng.uniform(1.0, 1e6, 50000)]
+        ).astype(np.float32)
+        b = np.concatenate(
+            [rng.uniform(1e-3, 4.0, 100000), rng.uniform(1.0, 1e6, 50000)]
+        ).astype(np.float32)
+        q = np.asarray(jax.jit(hashes.div_cr)(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(q.view(np.uint32), (a / b).view(np.uint32))
+        s = np.asarray(jax.jit(hashes.sqrt_cr)(jnp.asarray(a)))
+        np.testing.assert_array_equal(s.view(np.uint32), np.sqrt(a).view(np.uint32))
+
+    def test_strict_sum_matches_ieee(self):
+        # XLA's simplifier factors x*C + y*C + z*C into (x+y+z)*C (one
+        # rounding); strict_sum pins the reference's per-term IEEE roundings
+        # (simplex3's skew sums, ops/noise.py).
+        if not hashes.EXACT_SIN:
+            pytest.skip("plain mode keeps the factored form")
+        rng = np.random.RandomState(12)
+        x = rng.uniform(-200, 200, 100000).astype(np.float32)
+        y = rng.uniform(-200, 200, 100000).astype(np.float32)
+        z = rng.uniform(-200, 200, 100000).astype(np.float32)
+        C = np.float32(1.0 / 3.0)
+
+        @jax.jit
+        def f(x, y, z):
+            return hashes.strict_sum(x * jnp.float32(C), y * jnp.float32(C), z * jnp.float32(C))
+
+        got = np.asarray(f(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)))
+        want = (x * C + y * C) + z * C
+        np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
 
 
 class TestSimplex:

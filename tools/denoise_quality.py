@@ -87,11 +87,10 @@ def main():
     W, H = args.size
     test_spps = {1, 4, 8, 16, 32}
 
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(
-        jnp.asarray(area["blocks"]).reshape(9, 9, 16, 16, 384), -4, -4
-    )
-    hmax = float(np.asarray(area["heightfield"]).max())
+    import scenelib
+
+    blocks, hmax, (cx0, cz0) = scenelib.tiled_blocks()
+    scene = brickmap.build_scene(jnp.asarray(blocks), cx0, cz0)
     params = sky.sky_params(1.0, 0.0)
 
     day = camera.Player(

@@ -11,11 +11,18 @@ canReplace}.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# run on the DEFAULT backend (the TPU): the exact-sin hash is only bit-equal
+# to golden_gen's C twin on TPU (XLA:CPU contracts the double-single ops
+# differently — measured ~100% of draws 1 ulp off), so a CPU run reports
+# spurious placement diffs.  MMTPU_TEST_PLATFORM=cpu still forces CPU.
+if os.environ.get("MMTPU_TEST_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MMTPU_TEST_PLATFORM"])
+os.environ.setdefault("MMTPU_EXACT_SIN", "1")
 
 jax.config.update(
     "jax_compilation_cache_dir",

@@ -7,11 +7,9 @@ from mega_minecraft_tpu.render import brickmap, camera, denoise, sky, tonemap, t
 from mega_minecraft_tpu.terrain import pipeline
 
 print("real atlas:", materials.HAS_REAL_ATLAS)
-area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-hmax = float(np.asarray(area["heightfield"]).max())
-player = camera.Player(pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22)
-params = sky.sky_params(1.0, 0.0)
+import scenelib  # noqa: E402
+
+scene, player, params, hmax = scenelib.benchmark_scene()
 W, H = 640, 360
 cam = player.camera_params(W, H)
 fbs = tracer.init_framebuffers(H, W)

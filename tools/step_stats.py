@@ -44,12 +44,19 @@ def stats(name, steps, mask=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="480x270")
+    ap.add_argument("--scene", default="tiled", choices=("tiled", "9x9"))
     args = ap.parse_args()
     W, H = (int(v) for v in args.res.split("x"))
 
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-    hmax = float(np.asarray(area["heightfield"]).max())
+    if args.scene == "9x9":  # legacy scene (own ~15 min cold compile)
+        area = pipeline.generate_area(-4, -4, 9, 9, features=True)
+        scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
+        hmax = float(np.asarray(area["heightfield"]).max())
+    else:  # default: shared tiled 10x10 scene — ONE cached program (scenelib)
+        import scenelib
+
+        blocks, hmax, (cx0, cz0) = scenelib.tiled_blocks()
+        scene = brickmap.build_scene(jnp.asarray(blocks), cx0, cz0)
 
     @jax.jit
     def probe(scene, cam):

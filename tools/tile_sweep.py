@@ -23,14 +23,10 @@ from mega_minecraft_tpu.terrain import pipeline
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
+    import scenelib
+
+    scene, player, params, hmax = scenelib.benchmark_scene()
     np.asarray(scene.flat[:1])
-    hmax = float(np.asarray(area["heightfield"]).max())
-    player = camera.Player(
-        pos=np.array([0.0, hmax + 16.0, -60.0], np.float32), theta=0.05, phi=-0.22
-    )
-    params = sky.sky_params(1.0, 0.0)
     W, H = 960, 540
     cam = player.camera_params(W, H)
 

@@ -62,20 +62,22 @@ def main():
     args = ap.parse_args()
     W, H = (int(v) for v in args.res.split("x"))
 
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-    hmax = float(np.asarray(area["heightfield"]).max())
+    import scenelib
+
+    blocks, hmax, (cx0, cz0) = scenelib.tiled_blocks()  # [10, 10, 16, 16, 384]
+    scene = brickmap.build_scene(jnp.asarray(blocks), cx0, cz0)
     params = sky.sky_params(1.0, 0.0)
 
     # cave interior: drop the camera into the largest air pocket below the surface
-    blocks = np.asarray(area["blocks"])  # [9, 9, 16, 16, 384]
-    vol = blocks.transpose(0, 2, 1, 3, 4).reshape(144, 144, 384)
+    nb = blocks.shape[0] * 16
+    vol = blocks.transpose(0, 2, 1, 3, 4).reshape(nb, nb, 384)
     air = vol == 0
     underground = air[:, :, :96]  # below y=96: caves, not sky
     zz, xx, yy = np.nonzero(underground)
     pick = np.argmax(yy)  # a high cave ceiling gives a real interior view
     cave_pos = np.array(
-        [xx[pick] - 64 + 0.5, yy[pick] - 1.5, zz[pick] - 64 + 0.5], np.float32
+        [xx[pick] + cx0 * 16 + 0.5, yy[pick] - 1.5, zz[pick] + cz0 * 16 + 0.5],
+        np.float32,
     )
 
     cams = {

@@ -28,10 +28,9 @@ def bench(fn, *args, reps=4, **kw):
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    area = pipeline.generate_area(-4, -4, 9, 9, features=True)
-    scene = brickmap.build_scene(jnp.asarray(area["blocks"]), -4, -4)
-    hmax = float(np.asarray(area["heightfield"]).max())
-    params = sky.sky_params(1.0, 0.0)
+    import scenelib
+
+    scene, _player, params, hmax = scenelib.benchmark_scene()
     W, H = 1920, 1080
 
     legacy = jax.jit(tracer.render_sample, static_argnames=(
