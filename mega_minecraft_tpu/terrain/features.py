@@ -320,14 +320,27 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
             y_len = min(384, 96)
         return W, y_len, ymode, b_lo, b_hi
 
+    # ONE global type-grouped order (a per-type argsort would instantiate ~30
+    # sort programs and blew the fused-pipeline compile past bench.py's 25-min
+    # leg deadline): sort by (feature, original index); type fid's placements
+    # then live at sel_all[type_start[fid] : type_start[fid] + type_cnt[fid]]
+    # in original order.
+    sel_all = jnp.argsort(
+        jnp.where(valid_order := feat_all > 0,
+                  feat_all * I32(NK) + jnp.arange(NK, dtype=I32),
+                  jnp.iinfo(jnp.int32).max)
+    ).astype(I32)
+    sel_all = jnp.concatenate([sel_all, jnp.zeros((8,), I32)])
+    type_cnt = jnp.zeros((n_types + 1,), I32).at[jnp.where(valid_order, feat_all, 0)].add(1)
+    type_cnt = type_cnt.at[0].set(0)  # invalid entries sort to the END, not bin 0
+    type_start = jnp.cumsum(type_cnt) - type_cnt  # exclusive prefix over types 1..
+
     def run_type(fid, fn, packed_best):
         W, y_len, ymode, b_lo, b_hi = window_geom(fid)
         # batch width: target ~1M-voxel vmapped programs, ≤8 combine unrolls
         P = int(np.clip((1 << 20) // (W * W * y_len), 1, 8))
-        is_t = feat_all == I32(fid)
-        cnt = is_t.sum().astype(I32)
-        sel = jnp.argsort(jnp.where(is_t, jnp.arange(NK, dtype=I32), I32(2**30)))
-        sel = jnp.concatenate([sel.astype(I32), jnp.zeros((P,), I32)])
+        cnt = type_cnt[fid]
+        start0 = type_start[fid]
 
         def eval_one(px, py, pz, layer_h, rep, sb, sl, valid):
             lo = py + bounds[fid, 0]
@@ -377,7 +390,7 @@ def apply_placements_area(area_blocks, lists, origin_xz, ncx: int, ncz: int, cav
 
         def body(state):
             i, packed_best = state
-            idxb = jax.lax.dynamic_slice(sel, (i,), (P,))
+            idxb = jax.lax.dynamic_slice(sel_all, (start0 + i,), (P,))
             valid = (i + jnp.arange(P, dtype=I32)) < cnt
             px = flat["x"][idxb]
             py = flat["y"][idxb]

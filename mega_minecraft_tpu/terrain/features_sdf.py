@@ -199,9 +199,10 @@ def _feat_coral(s, fx, fy, fz, wx, wy, wz, brng, extra):
     )
     hit_bub = _length3(px, py * F32(1.25), pz) < r_bub
     # fire/horn (cases 2, 3): rasterized branch lines
-    p1x = (s[1] * 2 - 1) * F32(2.5)
+    # draw order z,y,x (g++ right-to-left vec3 ctor, featurePlacement.hpp:224)
+    p1z = (s[1] * 2 - 1) * F32(2.5)
     p1y = s[2] * F32(3.5)
-    p1z = (s[3] * 2 - 1) * F32(2.5)
+    p1x = (s[3] * 2 - 1) * F32(2.5)
     hit_line = _in_rasterized_line(fx, fy, fz, F32(0.0), F32(0.0), F32(0.0), p1x, p1y, p1z)
     k = 4
     for _ in range(5):
@@ -501,14 +502,20 @@ def _feat_purple_mushroom(s, fx, fy, fz, wx, wy, wz, brng, extra):
     far_cap = _length3(px, py - height, pz) > F32(35.0)
     in_bounds = ~((py < -1) | (py > height + 12.0) | ((hd > 8.0) & ((py < height - 12.0) | far_cap)))
 
-    # spline control points (5 pts, draws 3..14), spline size 7; traced jnp scalars
+    # spline control points (5 pts, draws 3..14), spline size 7; traced jnp
+    # scalars.  Draw order is z, y, x: the reference's `vec3(u11(rng), u11(rng),
+    # u11(rng))` (featurePlacement.hpp:700) has unspecified C++ argument
+    # evaluation order, and g++ (the golden/reference host build) evaluates
+    # constructor args RIGHT to LEFT — verified by the strict-numpy emulation
+    # (/tmp recipe in round-4 notes): x,y,z order left 1516 of the golden's
+    # 1617 mushroom voxels displaced, z,y,x order matches all 1617 exactly.
     ctrl_j = [(F32(0.0), F32(0.0), F32(0.0))]
     kk = 3
     for i in range(1, 5):
         scale = 0.6 if i == 4 else 1.0
-        ox = (s[kk] * 2 - 1) * F32(6.0 * scale)
+        oz = (s[kk] * 2 - 1) * F32(6.0 * scale)
         oy = (s[kk + 1] * 2 - 1) * F32(2.0 * scale)
-        oz = (s[kk + 2] * 2 - 1) * F32(6.0 * scale)
+        ox = (s[kk + 2] * 2 - 1) * F32(6.0 * scale)
         t = F32(i / 4.0)
         ctrl_j.append((ox, height * t + oy, oz))
         kk += 3
@@ -537,7 +544,9 @@ def _feat_purple_mushroom(s, fx, fy, fz, wx, wy, wz, brng, extra):
             radius = (F32(4.0) * xq * xq + F32(1.5)) * F32(1.2)
             pot_block = jnp.broadcast_to(_u8(_B.MUSHROOM_STEM), jnp.shape(fx))
         else:
-            radius = (F32(7.0) * s[16] + F32(12.0)) * (F32(0.8) + F32(0.4) * jnp.clip(hashes.div_cr(height - F32(33.0), F32(40.0)), 0.0, 1.0))
+            # glm::mix does NOT clamp: height < 33 shrinks the cap below 0.8x
+            # (featurePlacement.hpp:746) — a clamp here overgrew small caps
+            radius = (F32(7.0) * s[16] + F32(12.0)) * (F32(0.8) + F32(0.4) * hashes.div_cr(height - F32(33.0), F32(40.0)))
             underside = (dist < radius - 1.8) & (ratio < 0.5) & (universal < F32(1.4))
             pot_block = jnp.where(underside, _u8(_B.MUSHROOM_UNDERSIDE), _u8(_B.PURPLE_MUSHROOM_CAP))
         seg_hit = (in01 & (dist <= radius)) | (
@@ -702,11 +711,13 @@ def _feat_palm(s, fx, fy, fz, wx, wy, wz, brng, extra):
     ctrl = [(F32(0.0), F32(0.0), F32(0.0))]
     cx = cy = cz = F32(0.0)
     k = 0
+    # draw order z,y,x: g++ evaluates vec3(u..,u..,u..) ctor args right-to-left
+    # (featurePlacement.hpp:991; verified empirically on the purple mushroom)
     for i in range(1, 4):
         walk = F32(1.0 + (i / 4.0) * 5.0)
-        cx = cx + walk * (s[k] * 2 - 1)
+        cz = cz + walk * (s[k] * 2 - 1)
         cy = cy + F32(3.0) + F32(5.0) * s[k + 1]
-        cz = cz + walk * (s[k + 2] * 2 - 1)
+        cx = cx + walk * (s[k + 2] * 2 - 1)
         ctrl.append((cx, cy, cz))
         k += 3
     minx = jnp.minimum(jnp.minimum(F32(0.0), ctrl[1][0]), jnp.minimum(ctrl[2][0], ctrl[3][0]))
@@ -766,9 +777,10 @@ def _feat_crystal(s, fx, fy, fz, wx, wy, wz, brng, extra, medium: bool):
     pz = _f(fz) * scale
     in_bounds = jnp.maximum(jnp.abs(fx), jnp.abs(fz)) <= 25
 
-    cex = F32(12.0) * (s[1] * 2 - 1)
+    # draw order z,y,x (g++ right-to-left vec3 ctor, featurePlacement.hpp:1066)
+    cez = F32(12.0) * (s[1] * 2 - 1)
     cey = F32(18.0) + F32(8.0) * s[2]
-    cez = F32(12.0) * (s[3] * 2 - 1)
+    cex = F32(12.0) * (s[3] * 2 - 1)
     not_above = py <= cey + F32(2.0)
     crystal_block = _random_crystal_block(s[4])
 

@@ -24,19 +24,35 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("ncx", "ncz", "features"))
 def generate_area_fused(pos_halo, ncx: int, ncz: int, features: bool = False):
     """The full per-chunk pipeline (heightfield → layers → caves → fill, and with
     ``features=True`` also feature placement → 49-chunk gather → SDF feature fill →
-    decorators) for an ``ncx × ncz`` area as ONE jitted device program — no host
-    round-trips between stages, XLA overlaps everything.  (Erosion is a separate
-    zone-grid pass; see erosion.erode_zone.)
+    decorators) for an ``ncx × ncz`` area as TWO chained jitted device programs —
+    no host round-trips between stages (the second dispatch consumes the first's
+    device-resident outputs asynchronously).  Split rather than one monolithic
+    jit: XLA compile time is superlinear in module size (the one-program form
+    took >25 min to compile after the round-4 batched feature apply, past
+    bench.py's generation-leg deadline; the halves bound the worst compile AND
+    cache independently — an SDF edit no longer recompiles the terrain half).
+    (Erosion is a separate zone-grid pass; see erosion.erode_zone.)
 
     Args:
       pos_halo: [(ncz+2)*(ncx+2), 2] i32 world-block chunk origins, row-major with
         the 1-chunk halo included.
     Returns dict of device arrays for the ncx*ncz inner chunks.
     """
+    out = _fused_gen_half(pos_halo, ncx, ncz)
+    if features:
+        out = dict(out)
+        out["blocks"] = _fused_feature_half(
+            out["blocks"], out["heightfield"], out["biome_weights"], out["layers"],
+            out["caves"], out["chunk_pos"], ncx, ncz,
+        )
+    return out
+
+
+@partial(jax.jit, static_argnames=("ncx", "ncz"))
+def _fused_gen_half(pos_halo, ncx: int, ncz: int):
     hz, hx = ncz + 2, ncx + 2
     hf, w = heightfield.generate_heightfield(pos_halo)
     hf_grid = hf.reshape(hz, hx, 16, 16)
@@ -58,26 +74,6 @@ def generate_area_fused(pos_halo, ncx: int, ncz: int, features: bool = False):
     ls = layers.fix_backward_stratified(ls)
     cv = caves_mod.generate_caves(hf_in, w_in, pos_in)
     blocks = fill.fill_chunks(hf_in, w_in, ls, cv["starts"], cv["ends"], pos_in)
-    if features:
-        from . import decorators as decorators_mod
-        from . import feature_placement as fp
-        from . import features as features_mod
-
-        pl = fp.generate_placements(
-            hf_in, w_in, ls, cv["starts"], cv["ends"],
-            cv["bottom_biome"], cv["top_biome"], pos_in,
-        )
-        lists = fp.compact_placements(pl, pos_in)
-        # area-level application: every source placement evaluates ONCE over the
-        # whole area with exact spiral-gather priority (features.py) — replaces
-        # the per-chunk 49-gather + per-chunk loops (each source re-evaluated in
-        # up to 49 consumer chunks); area borders clip identically (rank ∞)
-        blocks = features_mod.apply_features_area(
-            blocks, lists["surface"], lists["cave"], pos_in, ncx, ncz
-        )
-        blocks = decorators_mod.place_decorators_batch(
-            blocks, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in
-        )
     return {
         "blocks": blocks,
         "heightfield": hf_in,
@@ -86,6 +82,29 @@ def generate_area_fused(pos_halo, ncx: int, ncz: int, features: bool = False):
         "caves": cv,
         "chunk_pos": pos_in,
     }
+
+
+@partial(jax.jit, static_argnames=("ncx", "ncz"))
+def _fused_feature_half(blocks, hf_in, w_in, ls, cv, pos_in, ncx: int, ncz: int):
+    from . import decorators as decorators_mod
+    from . import feature_placement as fp
+    from . import features as features_mod
+
+    pl = fp.generate_placements(
+        hf_in, w_in, ls, cv["starts"], cv["ends"],
+        cv["bottom_biome"], cv["top_biome"], pos_in,
+    )
+    lists = fp.compact_placements(pl, pos_in)
+    # area-level application: every source placement evaluates ONCE over the
+    # whole area with exact spiral-gather priority (features.py) — replaces
+    # the per-chunk 49-gather + per-chunk loops (each source re-evaluated in
+    # up to 49 consumer chunks); area borders clip identically (rank ∞)
+    blocks = features_mod.apply_features_area(
+        blocks, lists["surface"], lists["cave"], pos_in, ncx, ncz
+    )
+    return decorators_mod.place_decorators_batch(
+        blocks, hf_in, w_in, cv["starts"], cv["ends"], cv["bottom_biome"], pos_in
+    )
 
 
 def _chunk_positions(cx0: int, cz0: int, ncx: int, ncz: int) -> np.ndarray:

@@ -14,6 +14,7 @@ def engine():
     return Engine(EngineConfig(width=64, height=36, view_chunks=3, gen_radius=0, capacity=64))
 
 
+@pytest.mark.slow
 class TestControls:
     def test_zoom_resets_accumulation(self, engine):
         engine.frame_id = 5
@@ -33,6 +34,7 @@ class TestControls:
         assert engine.frame_id == 0
 
 
+@pytest.mark.slow
 class TestDebugDumps:
     def test_force_regather_unloaded(self, engine):
         """X-key analogue on an unloaded chunk reports slot -1 and no diff."""
@@ -48,6 +50,7 @@ class TestDebugDumps:
             assert out["regen_max_abs_diff"] == 0.0
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_roundtrip(self, engine, tmp_path):
         engine.player.pos = np.array([12.0, 180.0, -4.0], np.float32)

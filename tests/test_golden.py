@@ -242,6 +242,7 @@ class TestErosionGolden:
         np.testing.assert_array_equal(got[8], want[8])
 
 
+@pytest.mark.slow
 class TestBlockGridGolden:
     """End-to-end block-grid diff vs the reference's fill -> SDF features ->
     decorators pipeline (chunk.cu:1200-1747 + featurePlacement.hpp), the largest

@@ -64,6 +64,7 @@ class TestTrace:
                 bad += 1
         assert bad == 0
 
+    @pytest.mark.slow
     def test_macro_on_off_bit_identical(self, box_scene):
         """The two-level DDA's contract (tracer.py trace docstring): skips and
         level changes only ever move rays through PROVEN-empty space, so the
@@ -99,6 +100,7 @@ class TestTrace:
             "macro level never engaged/never saved a step"
         )
 
+    @pytest.mark.slow
     def test_aerial_descent_exact(self, box_scene):
         """Steep descents ride the skyline-descent field (brickmap bits 26-30);
         landings must still be exact: straight-down rays from far above terrain
@@ -133,6 +135,7 @@ class TestTrace:
             sky = int(top[zlo:zhi, xlo:xhi].max())
             assert q[z, x, y] == min(max(y - sky, 0), 124) // 4
 
+    @pytest.mark.slow
     def test_tiling_remainder_matches_untiled(self, box_scene):
         """A height that does not divide tile_rows renders its last rows via an
         overlapping full-shaped band; rays are keyed by global pixel, so the
@@ -160,6 +163,7 @@ class TestTrace:
                 f"{bad.sum()} divergent pixels at {np.argwhere(bad)[:20]}"
             )
 
+    @pytest.mark.slow
     def test_compact_matches_tiled(self, box_scene):
         """render_sample_compact (partition-by-aliveness + segmented bounce loop)
         computes the SAME paths as the spatial-band renderer — every ray consumes
@@ -185,6 +189,7 @@ class TestTrace:
                 f"{bad.sum()} divergent pixels at {np.argwhere(bad)[:20]}"
             )
 
+    @pytest.mark.slow
     def test_water_interface(self):
         vol = np.zeros((16, 16, 384), np.uint8)
         vol[:, :, :100] = int(Block.STONE)
@@ -213,6 +218,7 @@ class TestTrace:
         assert float(res2.ny[0]) == 1.0
 
 
+@pytest.mark.slow
 class TestAlphaCutout:
     """The DDA's park-and-resolve alpha test (the anyhit equivalent,
     basic_shaders.cu:1046-1068): rays through zero-alpha texels of flagged
@@ -410,6 +416,7 @@ class TestPost:
         assert out[:, 14].mean() < 0.2 and out[:, 18].mean() > 0.8
 
 
+@pytest.mark.slow
 class TestDebugRenderer:
     def test_direct_light_frame(self, box_scene):
         """One deterministic debug frame: finite, sky above horizon brighter than
@@ -480,6 +487,7 @@ class TestXShapedFlora:
         assert not bool(res.hit[0])
 
 
+@pytest.mark.slow
 class TestAlphaCutout:
     """anyhit alpha-test equivalent (basic_shaders.cu:1022-1052): rays pass
     through zero-alpha texels of X flora quads and leaf-block faces."""
@@ -532,6 +540,7 @@ class TestAlphaCutout:
         assert bool(res.hit[0]) and int(res.block[0]) == b
 
 
+@pytest.mark.slow
 class TestStochasticAlpha:
     """trace(alpha="stochastic"): bounce/shadow rays pass through alpha-flagged
     voxels with probability = the tile's transparent fraction (field bits 8-15,
