@@ -318,6 +318,36 @@ def set_exact_sin(on: bool) -> None:
     EXACT_SIN = bool(on)
 
 
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def exact_scope(on: bool):
+    """Force the hash-sin mode within a ``with`` block, OVERRIDING the
+    MMTPU_EXACT_SIN env var (unlike :func:`set_exact_sin`).
+
+    The mode is read at TRACE time, so the scope must be active while the
+    consuming program traces.  Two standing uses:
+
+    * the render path wraps its trace in ``exact_scope(False)`` — exact
+      arithmetic exists to make *terrain decisions* bit-exact vs the golden
+      generator; the tracer's texture-variant hash gains nothing from it, and
+      scoping it out makes every render program IDENTICAL under either ambient
+      mode (one compile, one cache entry, no 2x render-program tax).
+    * bench.py measures the other generation mode in the same process by
+      flipping the scope + ``jax.clear_caches()`` (already-traced inner jits
+      hold the old mode's jaxpr — clearing is mandatory, see
+      tools/exact_sin_cost.py).
+    """
+    global EXACT_SIN
+    prev = EXACT_SIN
+    EXACT_SIN = bool(on)
+    try:
+        yield
+    finally:
+        EXACT_SIN = prev
+
+
 def _sinhash(d):
     s = _sin_cr(d) if EXACT_SIN else jnp.sin(d)
     return _fract(s * F32(39021.426))
@@ -347,7 +377,11 @@ def div_cr(a, b):
         return q
     p, e = _two_prod(q, b)
     r = (a - p) - e  # exact residual a - q*b (|r| <= ulp(a))
-    return q + r / b
+    # guard: when b == 0 (degenerate worley distance) or q*b overflows, the
+    # Dekker product is NaN — keep the IEEE quotient (inf) instead of
+    # propagating NaN through the correction (plain mode and the golden
+    # generator both return inf there)
+    return jnp.where(jnp.isfinite(q) & (b != F32(0.0)), q + r / b, q)
 
 
 def sqrt_cr(x):

@@ -1235,6 +1235,27 @@ def _render_rows(
 TILE_ROWS = 4
 
 
+def _plain_hash_mode(fn):
+    """Trace the render path with exact-arithmetic hashing OFF, always.
+
+    Exact mode (hashes.exact_scope) exists to make TERRAIN decisions bit-exact
+    vs the golden generator; the tracer's only mode-sensitive call is the
+    texture-variant hash (aesthetics).  Pinning the render trace to plain mode
+    makes every render program identical under either ambient mode — one
+    compile and one persistent-cache entry instead of two (the round-4 exact
+    feature-half program hit 44 MB / ~18 min cold XLA; render must not pay a
+    mode tax like that for nothing)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with hashes.exact_scope(False):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_plain_hash_mode
 def render_sample(
     scene: Scene,
     cam,
@@ -1387,6 +1408,7 @@ def _first_bounce_rows(scene, cam, params, height, width, frame_id, row0,
     return st
 
 
+@_plain_hash_mode
 def render_sample_compact(
     scene: Scene,
     cam,

@@ -242,7 +242,33 @@ class TestErosionGolden:
         np.testing.assert_array_equal(got[8], want[8])
 
 
-@pytest.mark.slow
+def _block_grid_case(cx, cz, golden_blockgrid):
+    """Shared body for the block-grid golden cases (smoke + slow tiers)."""
+    from mega_minecraft_tpu.ops import hashes
+    from mega_minecraft_tpu.terrain import pipeline
+
+    # with exact arithmetic (conftest enables it on TPU: correctly-rounded
+    # hash sin + div/sqrt + pinned simplex sums, and the golden generator runs
+    # an op-for-op C twin of _sin_cr) the round-4 result is bit-exactness at
+    # (0,0) and <=1e-4 residual mismatch elsewhere — gate at 0.9999.  Without
+    # it (CPU-only boxes), hash jitter flips whole cave-mask bands and ~8% of
+    # a cavey chunk can shift.
+    threshold = 0.9999 if hashes.EXACT_SIN else 0.90
+    area = pipeline.generate_area(cx // 16 - 3, cz // 16 - 3, 7, 7, features=True)
+    got = np.asarray(area["blocks"][3, 3])
+    want = golden_blockgrid[f"post_{cx}_{cz}"]
+    agree = (got == want).mean()
+    if agree < threshold:
+        pre = golden_blockgrid[f"pre_{cx}_{cz}"]
+        n_pre = (got == pre).mean()
+        vals, cnts = np.unique(want[got != want], return_counts=True)
+        raise AssertionError(
+            f"block grid agreement {agree:.4f} < {threshold} at ({cx},{cz}); "
+            f"agreement vs pre-decorator golden {n_pre:.4f}; "
+            f"most-mismatched reference blocks {dict(zip(vals.tolist(), cnts.tolist()))}"
+        )
+
+
 class TestBlockGridGolden:
     """End-to-end block-grid diff vs the reference's fill -> SDF features ->
     decorators pipeline (chunk.cu:1200-1747 + featurePlacement.hpp), the largest
@@ -251,10 +277,11 @@ class TestBlockGridGolden:
     neighborhood (skip-erosion semantics, per-consumer gather caps included);
     we generate the same 7x7 area and diff the center chunk's 16x16x384 u8 grid.
 
-    Epsilon: upstream noise chains are f32-reproduced but sin-dot hashes differ
-    at ~1e-5 ulp scale, which can flip individual threshold decisions (one cave
-    boundary block, one feature RNG draw), so exact match is asserted on >=99.5%
-    of blocks and mismatches must be sparse, not structural."""
+    The (0,0) case runs in the DEFAULT tier as the flagship-invariant smoke
+    (bit-exact under exact arithmetic since round 4); the remaining chunks are
+    slow-tier.  Residual mismatches at the other chunks are individual
+    threshold flips where glibc's sinf (twin side) and boundary-order details
+    differ — sparse, never structural."""
 
     @pytest.fixture(scope="class")
     def golden_blockgrid(self):
@@ -263,26 +290,12 @@ class TestBlockGridGolden:
             pytest.skip("golden_blockgrid.npz not generated")
         return np.load(path)
 
-    @pytest.mark.parametrize("cx,cz", [(-160, -160), (592, -368), (0, 0), (4096, 4096)])
-    def test_block_grid(self, golden_blockgrid, cx, cz):
-        from mega_minecraft_tpu.ops import hashes
-        from mega_minecraft_tpu.terrain import pipeline
+    def test_block_grid_smoke_origin(self, golden_blockgrid):
+        """Default-tier smoke: regressions to the bit-exactness flagship must
+        surface in a plain `pytest tests/` run (ADVICE r4)."""
+        _block_grid_case(0, 0, golden_blockgrid)
 
-        # with the correctly-rounded hash sin (conftest enables it on TPU) the
-        # only disagreement left is the ~1.5% of sin-hash draws where glibc's
-        # own sinf is not correctly rounded; without it (CPU-only boxes), hash
-        # jitter flips whole cave-mask bands and ~8% of a cavey chunk can shift
-        threshold = 0.995 if hashes.EXACT_SIN else 0.90
-        area = pipeline.generate_area(cx // 16 - 3, cz // 16 - 3, 7, 7, features=True)
-        got = np.asarray(area["blocks"][3, 3])
-        want = golden_blockgrid[f"post_{cx}_{cz}"]
-        agree = (got == want).mean()
-        if agree < threshold:
-            pre = golden_blockgrid[f"pre_{cx}_{cz}"]
-            n_pre = (got == pre).mean()
-            vals, cnts = np.unique(want[got != want], return_counts=True)
-            raise AssertionError(
-                f"block grid agreement {agree:.4f} < {threshold} at ({cx},{cz}); "
-                f"agreement vs pre-decorator golden {n_pre:.4f}; "
-                f"most-mismatched reference blocks {dict(zip(vals.tolist(), cnts.tolist()))}"
-            )
+    @pytest.mark.slow
+    @pytest.mark.parametrize("cx,cz", [(-160, -160), (592, -368), (4096, 4096)])
+    def test_block_grid(self, golden_blockgrid, cx, cz):
+        _block_grid_case(cx, cz, golden_blockgrid)

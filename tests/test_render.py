@@ -219,7 +219,7 @@ class TestTrace:
 
 
 @pytest.mark.slow
-class TestAlphaCutout:
+class TestAlphaCutoutParkResolve:
     """The DDA's park-and-resolve alpha test (the anyhit equivalent,
     basic_shaders.cu:1046-1068): rays through zero-alpha texels of flagged
     blocks pass through; opaque texels stop them.  Texel coordinates are read

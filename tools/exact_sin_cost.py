@@ -3,8 +3,12 @@
 config.py promises next to the default.
 
 Times heightfield + caves + fill (the sin-hash-heavy stages) over a 5×5 area
-in BOTH sin modes in one process (hashes.set_exact_sin flips the mode before
-each trace; programs are distinct, so each mode compiles its own).
+in BOTH sin modes in one process.  The mode is read at TRACE time and baked
+into each compiled program, and flipping it does NOT invalidate @jax.jit
+caches (same shapes, same static args -> the second mode would silently hit
+the first mode's executables and report exact/plain ~= 1.0) — so each flip is
+followed by jax.clear_caches(); the persistent disk cache keeps re-compiles
+cheap.
 
 Run alone (ONE TPU process at a time):  python tools/exact_sin_cost.py
 """
@@ -55,6 +59,10 @@ results = {}
 for mode in (False, True):
     hashes.set_exact_sin(mode)
     assert hashes.EXACT_SIN == mode
+    # drop every traced program: EXACT_SIN is baked in at trace time, and the
+    # jit caches key only on shapes/statics — without this the True pass times
+    # the False-mode executables (the measured failure this tool shipped with)
+    jax.clear_caches()
     print(f"exact_sin={mode}:", flush=True)
     dt_h = timed("heightfield (7x7 halo)", lambda: heightfield.generate_heightfield(pos_h))
     hf, w = heightfield.generate_heightfield(pos_h)
@@ -81,3 +89,7 @@ for mode in (False, True):
 ratio = results[True] / results[False]
 print(f"total sin-heavy stages: plain {results[False]*1e3:.1f} ms, "
       f"exact {results[True]*1e3:.1f} ms  ->  exact/plain = {ratio:.3f}")
+assert ratio > 1.05, (
+    f"exact/plain = {ratio:.3f} ~ 1.0: the mode flip did not take "
+    "(stale jit cache — clear_caches missing?)"
+)

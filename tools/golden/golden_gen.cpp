@@ -37,6 +37,12 @@
 // correctly-rounded sin (the round-3 residual that still displaced features
 // in 17/49 chunks when this override was `(float)::sin((double)x)`).
 // tools/sin_twin_check.py pins the bit-equality over the placement-seed range.
+// CAVEAT (twin-vs-twin, not an independent oracle): a bug introduced into
+// _sin_cr would reproduce identically here and stay invisible to every golden
+// and placement diff.  The guard against that drift is the INDEPENDENT
+// accuracy gate tests/test_ops.py::test_sin_cr_placement_seed_range, which
+// checks _sin_cr against float64 sin (mismatch rate < 1e-4) — keep it green
+// whenever either twin changes.
 #include <cmath>
 namespace sincr {
 static const float SPLIT = 4097.0f;  // Dekker split constant for f32 (2^12+1)
