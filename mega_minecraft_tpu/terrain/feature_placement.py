@@ -68,6 +68,26 @@ def _masked_u01(state, mask):
     return v, jnp.where(mask, nxt, state)
 
 
+def _sel(col, idx, dtype=None):
+    """``col[idx]`` as a compare/select chain over a tiny trace-time numpy column.
+
+    The gen tables are [5 or 24 biomes, <=4 gens] constants; gathering
+    ``table[biome, g]`` at [B,16,16] lanes costs ~45 us of VPU gather latency
+    PER LOOKUP, and generate_placements makes hundreds of them across its
+    32-layer x 2 x 3-gen and 4-gen loops (measured: the stage ran 77 ms on a
+    5x5 area, ~70% of the whole feature half).  A chain of ``where(idx == b,
+    col[b], ...)`` over the column's distinct values is pure elementwise VPU
+    work that XLA fuses into the surrounding iteration for free."""
+    col = np.asarray(col)
+    first = col[0].item()
+    out = jnp.full(idx.shape, first, dtype or jnp.dtype(col.dtype))
+    for b in range(1, col.shape[0]):
+        v = col[b].item()
+        if v != first:
+            out = jnp.where(idx == I32(b), v, out)
+    return out
+
+
 @jax.jit
 def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_ends,
                         cave_bottom_biome, cave_top_biome, chunk_pos):
@@ -88,16 +108,18 @@ def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_en
 
     state = hashes.seed_3(wx, wz, SEED_COLUMN)
 
+    # tables stay NUMPY: every per-(biome, g) lookup below is a _sel chain over
+    # the trace-time column, not a device gather (see _sel)
     cft = fd.CAVE_FEATURE_GEN_TABLE
-    cave_count = jnp.asarray(cft["count"])
-    cave_feature_t = jnp.asarray(cft["feature"])
-    cave_cell_t = jnp.asarray(cft["cell"])
-    cave_pad_t = jnp.asarray(cft["padding"])
-    cave_chance_t = jnp.asarray(cft["chance"])
-    cave_minh_t = jnp.asarray(cft["min_height"])
-    cave_rep_t = jnp.asarray(cft["can_replace"])
-    cave_ceil_t = jnp.asarray(cft["from_ceiling"])
-    cave_lava_t = jnp.asarray(cft["in_lava"])
+    cave_count = np.asarray(cft["count"])
+    cave_feature_t = np.asarray(cft["feature"])
+    cave_cell_t = np.asarray(cft["cell"])
+    cave_pad_t = np.asarray(cft["padding"])
+    cave_chance_t = np.asarray(cft["chance"])
+    cave_minh_t = np.asarray(cft["min_height"])
+    cave_rep_t = np.asarray(cft["can_replace"])
+    cave_ceil_t = np.asarray(cft["from_ceiling"])
+    cave_lava_t = np.asarray(cft["in_lava"])
     n_cave_gens = cft["max_gens"]
 
     shape = (B, 16, 16)
@@ -122,28 +144,30 @@ def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_en
             l_seed = SEED_CAVE_TOP_L if top else SEED_CAVE_BOTTOM_L
             placed = jnp.zeros(shape, bool)
             for g in range(n_cave_gens):
-                in_loop = layer_ok & ~placed & (g < cave_count[biome])
+                in_loop = layer_ok & ~placed & (I32(g) < _sel(cave_count, biome))
                 r, state = _masked_u01(state, in_loop)
-                feat = cave_feature_t[biome, g]
-                gen_ceiling = cave_ceil_t[biome, g]
-                lava_ok = cave_lava_t[biome, g] | (
+                feat = _sel(cave_feature_t[:, g], biome)
+                gen_ceiling = _sel(cave_ceil_t[:, g], biome)
+                lava_ok = _sel(cave_lava_t[:, g], biome) | (
                     jnp.where(top, end, start + I32(1)) > I32(bio.LAVA_LEVEL)
                 )
                 ok = (
                     in_loop
-                    & (r < cave_chance_t[biome, g])
+                    & (r < _sel(cave_chance_t[:, g], biome))
                     & (gen_ceiling == top)
                     & lava_ok
-                    & (layer_h >= cave_minh_t[biome, g])
+                    & (layer_h >= _sel(cave_minh_t[:, g], biome))
                 )
                 pos_seed = feat * f_seed + li * l_seed
-                ok = ok & is_feature_pos(wx, wz, cave_cell_t[biome, g], cave_pad_t[biome, g], pos_seed)
+                ok = ok & is_feature_pos(
+                    wx, wz, _sel(cave_cell_t[:, g], biome), _sel(cave_pad_t[:, g], biome), pos_seed
+                )
                 slot = 1 if top else 0
                 out_cave_feature = out_cave_feature.at[..., li, slot].set(
                     jnp.where(ok, feat, out_cave_feature[..., li, slot])
                 )
                 out_cave_replace = out_cave_replace.at[..., li, slot].set(
-                    jnp.where(ok, cave_rep_t[biome, g], out_cave_replace[..., li, slot])
+                    jnp.where(ok, _sel(cave_rep_t[:, g], biome), out_cave_replace[..., li, slot])
                 )
                 placed = placed | ok
 
@@ -153,15 +177,15 @@ def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_en
 
     # ---- surface features (chunk.cu:1095-1144) ----
     sft = fd.FEATURE_GEN_TABLE
-    s_count = jnp.asarray(sft["count"])
-    s_feature = jnp.asarray(sft["feature"])
-    s_cell = jnp.asarray(sft["cell"])
-    s_pad = jnp.asarray(sft["padding"])
-    s_chance = jnp.asarray(sft["chance"])
-    s_rep = jnp.asarray(sft["can_replace"])
-    s_ntl = jnp.asarray(sft["n_top_layers"])
-    s_tl_mat = jnp.asarray(sft["top_layer_mat"])
-    s_tl_min = jnp.asarray(sft["top_layer_min"])
+    s_count = np.asarray(sft["count"])
+    s_feature = np.asarray(sft["feature"])
+    s_cell = np.asarray(sft["cell"])
+    s_pad = np.asarray(sft["padding"])
+    s_chance = np.asarray(sft["chance"])
+    s_rep = np.asarray(sft["can_replace"])
+    s_ntl = np.asarray(sft["n_top_layers"])
+    s_tl_mat = np.asarray(sft["top_layer_mat"])
+    s_tl_min = np.asarray(sft["top_layer_min"])
     n_gens = sft["max_gens"]
     max_tl = s_tl_mat.shape[-1]
 
@@ -177,31 +201,45 @@ def generate_placements(heightfield, biome_weights, layers, cave_starts, cave_en
     surface_replace = jnp.zeros(shape, bool)
     placed = jnp.zeros(shape, bool)
     for g in range(n_gens):
-        in_loop = do_surface & ~placed & (g < s_count[biome])
+        in_loop = do_surface & ~placed & (I32(g) < _sel(s_count, biome))
         r, state = _masked_u01(state, in_loop)
-        chance_ok = r < s_chance[biome, g]
+        chance_ok = r < _sel(s_chance[:, g], biome)
         # possibleTopLayers constraint (chunk.cu:1110-1132)
-        ntl = s_ntl[biome, g]
+        ntl = _sel(s_ntl[:, g], biome)
         can_place = ntl == 0
         for t in range(max_tl):
-            mat = s_tl_mat[biome, g, t]
-            l_start = jnp.take_along_axis(layer_starts, mat[..., None], axis=-1)[..., 0]
-            l_end = jnp.take_along_axis(layer_starts, (mat + 1)[..., None], axis=-1)[..., 0]
+            mat = _sel(s_tl_mat[:, g, t], biome)
+            # layer start/end lookup as a select over the column's DISTINCT
+            # material ids (static slices of the layers axis) — the previous
+            # per-column take_along_axis was two more ~45 us gathers per (g, t)
+            mat_vals = np.unique(s_tl_mat[:, g, t])
+            l_start = jnp.zeros_like(height)
+            l_end = jnp.zeros_like(height)
+            for m in mat_vals:
+                m = int(m)
+                pick = mat == I32(m)
+                l_start = jnp.where(pick, layer_starts[..., m], l_start)
+                l_end = jnp.where(
+                    pick, layer_starts[..., min(m + 1, layer_starts.shape[-1] - 1)], l_end
+                )
             tl_ok = (
                 (l_start <= height)
                 & (l_end >= height)
-                & (jnp.minimum(l_end, height) - l_start >= s_tl_min[biome, g, t])
+                & (jnp.minimum(l_end, height) - l_start >= _sel(s_tl_min[:, g, t], biome))
             )
-            can_place = can_place | ((t < ntl) & tl_ok)
-        feat = s_feature[biome, g]
+            can_place = can_place | ((I32(t) < ntl) & tl_ok)
+        feat = _sel(s_feature[:, g], biome)
         ok = (
             in_loop
             & chance_ok
             & can_place
-            & is_feature_pos(wx, wz, s_cell[biome, g], s_pad[biome, g], feat * SEED_SURFACE_POS)
+            & is_feature_pos(
+                wx, wz, _sel(s_cell[:, g], biome), _sel(s_pad[:, g], biome),
+                feat * SEED_SURFACE_POS,
+            )
         )
         surface_feature = jnp.where(ok, feat, surface_feature)
-        surface_replace = jnp.where(ok, s_rep[biome, g], surface_replace)
+        surface_replace = jnp.where(ok, _sel(s_rep[:, g], biome), surface_replace)
         placed = placed | ok
 
     return {
