@@ -34,8 +34,9 @@ class RenderConfig:
     shadow_trace_steps: int = 64
     #: DDA steps per while_loop iteration: >1 amortizes per-iteration loop
     #: overhead at the cost of up to N-1 wasted (alive-masked) sub-steps after
-    #: the last lane resolves
-    dda_unroll: int = 1
+    #: the last lane resolves (measured at 1080p (40,96) tiles: 1 -> 2128 ms,
+    #: 2 -> 2106, 4 -> 2047; default 4)
+    dda_unroll: int = 4
     #: exact-reference trace mode: bounce/shadow marches uncapped (= max_trace_steps)
     #: and exact (park-and-resolve) alpha cutout on ALL ray types — the reference's
     #: semantics (basic_shaders.cu:604-664,1022-1068); slower, used to quantify the

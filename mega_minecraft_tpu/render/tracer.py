@@ -1302,15 +1302,18 @@ def render_sample(
         full_height = height
     if tile_cols == "auto":
         tile_cols = None
-        if width >= 960:
-            for c in (320, 384, 256, 480):
+        if width >= 512:
+            for c in (96, 128, 80, 64, 320):
                 if width % c == 0:
                     tile_cols = c
                     break
     if tile_rows == "auto":
-        # with column tiles the per-tile lane count shrinks; taller tiles keep the
-        # VPU fed (measured at 1080p: (4,320) 2.55 s vs (8,320) 2.34 s)
-        tile_rows = 8 if tile_cols else TILE_ROWS
+        # round-5 resweep AFTER the macro DDA level landed: the macro skips cut
+        # straggler step counts so hard that per-tile overhead now dominates the
+        # old lock-step-divergence tradeoff — tall narrow tiles win everywhere
+        # (measured, tiled 10x10 scene, v5e: 1080p (8,320) 4255 -> (40,96)
+        # 2128 ms; 540p 1257 -> 708 ms; 640x360 (4,640) 894 -> (40,128) 389 ms)
+        tile_rows = 40 if tile_cols else TILE_ROWS
     row0 = jnp.asarray(row0, I32)
     if tile_rows is None or tile_rows >= height:
         return _render_rows(
@@ -1447,13 +1450,13 @@ def render_sample_compact(
         full_height = height
     if tile_cols == "auto":
         tile_cols = None
-        if width >= 960:
-            for c in (320, 384, 256, 480):
+        if width >= 512:
+            for c in (96, 128, 80, 64, 320):
                 if width % c == 0:
                     tile_cols = c
                     break
     if tile_rows == "auto":
-        tile_rows = 8 if tile_cols else TILE_ROWS
+        tile_rows = 40 if tile_cols else TILE_ROWS
     if tile_rows is None or tile_rows > height:
         tile_rows = height
     if tile_cols is None or width % tile_cols != 0:

@@ -936,10 +936,16 @@ def _cave_amber_fungus(s, fx, fy, fz, wx, wy, wz, brng, extra):
     in_cap = _in_range(fy, cap_start, height)
     cap_manh = jnp.where((fy - cap_start) < (height // 4 + 1), I32(2), I32(1))
     on_ring = in_cap & (manh == cap_manh)
-    # shroomlight: jittered 2-grid positions
-    gx = (wx // 2) * 2
-    gy = (wy // 2) * 2
-    gz = (wz // 2) * 2
+    # shroomlight: jittered 2-grid positions.  The reference's
+    # (worldBlockPos / 2) * 2 (featurePlacement.hpp:1358) is C integer division
+    # — TRUNCATING toward zero — so negative world coordinates must not floor
+    # (python //): at wz = -3, C gives -2 while floor gives -4, shifting the
+    # jitter grid and flipping SHROOMLIGHT/AMBER_WART at odd-negative columns
+    # (the round-4 block-grid residual: 8 of the 9 stray blocks at (592,-368)).
+    tdiv2 = lambda v: jnp.where(v < 0, -((-v) // 2), v // 2)
+    gx = tdiv2(wx) * 2
+    gy = tdiv2(wy) * 2
+    gz = tdiv2(wz) * 2
     r0, r1, r2 = hashes.rand3_from3(_f(gx), _f(gy), _f(gz))
     sx = gx + jnp.floor(r0 * F32(2.0)).astype(I32)
     sy = gy + jnp.floor(r1 * F32(2.0)).astype(I32)

@@ -1,8 +1,9 @@
-"""Sweep render tile shapes at 540p on the 9x9 scene (lock-step waste tuning).
+"""Sweep render tile shapes (lock-step waste tuning) on the tiled bench scene.
 
 The band DDA loop runs to its slowest lane; smaller/squarer tiles raise ray
 coherence (fewer wasted lock-step iterations) but add per-tile overhead.
-Run alone (ONE TPU process at a time):  python tools/tile_sweep.py
+Run alone (ONE TPU process at a time):
+  python tools/tile_sweep.py [--res 1920x1080]
 """
 import os
 import sys
@@ -23,18 +24,27 @@ from mega_minecraft_tpu.terrain import pipeline
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", default="960x540")
+    args = ap.parse_args()
+    W, H = (int(v) for v in args.res.split("x"))
     import scenelib
 
     scene, player, params, hmax = scenelib.benchmark_scene()
     np.asarray(scene.flat[:1])
-    W, H = 960, 540
     cam = player.camera_params(W, H)
 
     render = jax.jit(
         tracer.render_sample,
         static_argnames=("height", "width", "tile_rows", "tile_cols"),
     )
-    for tr, tc in [(4, None), (2, None), (8, None), (4, 120), (4, 240), (8, 120), (2, 120), (6, 160)]:
+    if W >= 1920:
+        shapes = [(8, 320), (4, 320), (8, 192), (8, 128), (4, 128), (16, 320), (8, 240), (4, 192)]
+    else:
+        shapes = [(4, None), (2, None), (8, None), (4, 120), (4, 240), (8, 120), (2, 120), (6, 160)]
+    for tr, tc in shapes:
         try:
             c, a, n = render(scene, cam, params, H, W, jnp.int32(0), tile_rows=tr, tile_cols=tc)
             np.asarray(c[0, 0, 0])
