@@ -28,10 +28,15 @@ class RenderConfig:
     zoom_fov_deg: float = 20.0  # optixRenderer.cpp:429
     fov_deg: float = 47.0  # optixRenderer.cpp:428
     #: DDA march caps (TPU-specific: lock-stepped loops; see tracer.py) — read by
-    #: tracer at import as its module defaults, env-overridable (MMTPU_RENDER_*)
-    max_trace_steps: int = 320
-    bounce_trace_steps: int = 96
-    shadow_trace_steps: int = 64
+    #: tracer at import as its module defaults, env-overridable (MMTPU_RENDER_*).
+    #: Round-5 retune from measured step counts (tools/step_stats.py: primary
+    #: max ~71 on the bench scene, bounce p99 = 32, shadow p99 = 17) and
+    #: measured bias (tools/trace_bias.py at these caps vs exact-reference
+    #: semantics: aerial 52.4 dB / cave 59.7 dB PSNR at 32 spp — invisible):
+    #: 320/96/64 -> 160/32/24 cut 1080p from 2047 to 1623 ms/frame (v5e).
+    max_trace_steps: int = 160
+    bounce_trace_steps: int = 32
+    shadow_trace_steps: int = 24
     #: DDA steps per while_loop iteration: >1 amortizes per-iteration loop
     #: overhead at the cost of up to N-1 wasted (alive-masked) sub-steps after
     #: the last lane resolves (measured at 1080p (40,96) tiles: 1 -> 2128 ms,
