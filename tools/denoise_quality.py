@@ -99,7 +99,19 @@ def main():
     r = {"view": "day", **measure(scene, day, params, H, W, args.spp, test_spps)}
     print(json.dumps(r), flush=True)
 
-    cave_pos = find_cave_viewpoint(area)
+    # cave viewpoint from the blocks themselves (the scenelib refactor dropped
+    # the staged-area dict this tool used to read cave layers from)
+    nb = blocks.shape[0] * 16
+    vol = blocks.transpose(0, 2, 1, 3, 4).reshape(nb, nb, 384)
+    underground = (vol == 0)[:, :, :96]
+    zz, xx, yy = np.nonzero(underground)
+    cave_pos = None
+    if yy.size:
+        pick = np.argmax(yy)
+        cave_pos = np.array(
+            [xx[pick] + cx0 * 16 + 0.5, yy[pick] - 1.5, zz[pick] + cz0 * 16 + 0.5],
+            np.float32,
+        )
     if cave_pos is not None:
         cave = camera.Player(pos=cave_pos, theta=1.2, phi=-0.1)
         r = {"view": "cave", **measure(scene, cave, params, H, W, args.spp, test_spps)}
