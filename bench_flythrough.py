@@ -9,6 +9,7 @@ the scheduler streams generation under the action-time budget and every frame is
 path-traced, denoised and tonemapped (reference main loop, main.cpp:661-717).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -39,12 +40,19 @@ def run(reference_scale: bool = True, n_frames: int = 30) -> dict:
             skip_erosion=True, use_denoising=True, use_upscaling=False,
         )
 
-    # prewarm: a tiny throwaway engine compiles every stage program + scene update
-    # (stage batches are padded to a fixed size, so the shapes are identical and the
-    # real drain below measures warm throughput, not XLA compile time)
-    warm = Engine(cfg)
-    warm.scheduler.drain(max_frames=40)
+    # prewarm: a throwaway engine compiles every stage program + scene update +
+    # render (stage batches are padded to a fixed size and the scene volume is
+    # sized by view_chunks, so all shapes match the real run below).  It must
+    # drain COMPLETELY at a radius that reaches every pipeline stage including
+    # zone erosion — round 5 measured that a 40-frame prewarm left the later
+    # stage programs cold and the "initial drain" then recorded ~350 s of XLA
+    # compile as if it were generation (warm drain of the same work: seconds).
+    warm_cfg = dataclasses.replace(cfg, gen_radius=20)
+    warm = Engine(warm_cfg)
+    warm.scheduler.drain()
     warm._upload_new_chunks()
+    warm.tick(1.0 / 30.0)
+    _ = warm.present()
     del warm
 
     eng = Engine(cfg)
