@@ -56,7 +56,9 @@ BENCH_REPS = int(os.environ.get("MMTPU_BENCH_REPS", "8"))
 
 # overall wall-clock budget: once exceeded, remaining legs are skipped (noted in
 # "extra") — the headline line has already been printed by then
-BENCH_BUDGET_S = float(os.environ.get("MMTPU_BENCH_BUDGET_S", "1800"))
+# sized for a fully COLD cache (the exact-mode leg alone can cost ~25 min of
+# XLA); with the end-of-round warm ritual the whole run takes ~10-15 min
+BENCH_BUDGET_S = float(os.environ.get("MMTPU_BENCH_BUDGET_S", "4500"))
 # per-leg hard timeouts (compile included; persistent XLA cache makes reruns fast)
 LEG_TIMEOUT_S = {
     # generous: a COLD fused-pipeline compile takes ~15 min and the first
@@ -64,7 +66,7 @@ LEG_TIMEOUT_S = {
     "generation": float(os.environ.get("MMTPU_BENCH_GEN_TIMEOUT_S", "1500")),
     # exact-mode re-time: warmed persistent cache makes this a retrace + load,
     # but a cold cache pays the big exact compiles (~18 min measured round 4)
-    "generation_exact": float(os.environ.get("MMTPU_BENCH_GEN_EXACT_TIMEOUT_S", "1500")),
+    "generation_exact": float(os.environ.get("MMTPU_BENCH_GEN_EXACT_TIMEOUT_S", "2700")),
     "erosion": float(os.environ.get("MMTPU_BENCH_EROSION_TIMEOUT_S", "420")),
     "render": float(os.environ.get("MMTPU_BENCH_RENDER_TIMEOUT_S", "900")),
 }
@@ -152,37 +154,65 @@ def leg_generation():
         flush=True,
     )
 
-    # golden-exact mode (the arithmetic the parity goldens pin): same programs
-    # retraced under exact_scope.  clear_caches is MANDATORY — inner jits hold
-    # the plain-mode jaxpr and would silently serve it (the mode is read at
-    # trace time); the persistent disk cache makes the re-compile cheap when
-    # warmed, and the retrace itself is seconds.
+    global _PLAIN_GEN_DTS
+    _PLAIN_GEN_DTS = (dt_full, dt_base)
+
+
+#: plain-mode timings stashed by leg_generation for the exact leg's sanity flag
+_PLAIN_GEN_DTS = None
+
+
+def leg_generation_exact():
+    """Golden-exact mode (the arithmetic the parity goldens pin): the same 5x5
+    programs retraced under exact_scope.  Runs LAST — its cold compile is the
+    largest in the repo (the round-4 exact feature half hit ~18 min of XLA) and
+    a stall here must not take the render/erosion legs down with it (the
+    round-5 first full run lost both exactly that way).  clear_caches is
+    MANDATORY — inner jits hold the plain-mode jaxpr and would silently serve
+    it (the mode is read at trace time)."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from mega_minecraft_tpu.ops import hashes
+    from mega_minecraft_tpu.terrain import pipeline
+
+    n = 5
+    pos_h = []
+    for cz in range(-1, n + 1):
+        for cx in range(-1, n + 1):
+            pos_h.append([cx * 16, cz * 16])
+    pos_h = jnp.asarray(np.array(pos_h, np.int32))
+
+    def timed(features, reps=BENCH_REPS):
+        _mark(f"exact generation warm/compile (features={features})...")
+        np.asarray(
+            pipeline.generate_area_fused(pos_h, n, n, features=features)["blocks"][0, 0, 0]
+        )
+        _mark("compiled; timing...")
+        t0 = time.time()
+        for _ in range(reps - 1):
+            pipeline.generate_area_fused(pos_h, n, n, features=features)
+        np.asarray(
+            pipeline.generate_area_fused(pos_h, n, n, features=features)["blocks"][0, 0, 0]
+        )
+        return (time.time() - t0) / reps
 
     with hashes.exact_scope(True):
         jax.clear_caches()
         dt_full_x = timed(True)
         dt_base_x = timed(False)
-    jax.clear_caches()  # drop exact-mode programs; later legs retrace plain
-    # both ratios ~1.0 would mean the mode flip did not take (stale jit cache,
-    # the tools/exact_sin_cost.py failure mode) — flag it rather than hide it
-    suspect = (0.97 < dt_full_x / dt_full < 1.03) and (
-        0.97 < dt_base_x / dt_base < 1.03
-    )
-    print(
-        json.dumps(
-            {
-                "leg": "generation_exact",
-                "n_chunks": n * n,
-                "dt_full": dt_full_x,
-                "dt_base": dt_base_x,
-                **({"mode_flip_suspect": True} if suspect else {}),
-            }
-        ),
-        flush=True,
-    )
+    jax.clear_caches()
+    out = {"leg": "generation_exact", "n_chunks": n * n, "dt_full": dt_full_x,
+           "dt_base": dt_base_x}
+    if _PLAIN_GEN_DTS is not None:
+        # both ratios ~1.0 would mean the mode flip did not take (stale jit
+        # cache, the tools/exact_sin_cost.py failure mode) — flag, don't hide
+        if (0.97 < dt_full_x / _PLAIN_GEN_DTS[0] < 1.03) and (
+            0.97 < dt_base_x / _PLAIN_GEN_DTS[1] < 1.03
+        ):
+            out["mode_flip_suspect"] = True
+    print(json.dumps(out), flush=True)
 
 
 def leg_erosion():
@@ -305,7 +335,7 @@ def leg_all():
     # render BEFORE erosion: the north-star render metric must land on the
     # scoreboard even if the budget expires mid-run (erosion only refines the
     # already-printed headline's amortization term)
-    for fn in (leg_generation, leg_render, leg_erosion):
+    for fn in (leg_generation, leg_render, leg_erosion, leg_generation_exact):
         try:
             fn()
         except Exception as e:  # keep later legs alive; the parent records it
@@ -358,7 +388,7 @@ def main():
     extra = {}
     gen_per_chunk = None
     erosion_per_chunk = 0.0
-    legs = ["generation", "generation_exact", "render", "erosion"]
+    legs = ["generation", "render", "erosion", "generation_exact"]
     cur = 0
     # per-leg stall deadline: reset whenever the child emits a leg line
     deadline = time.time() + LEG_TIMEOUT_S[legs[0]]
@@ -442,7 +472,12 @@ def main():
 
 def _single_leg(name):
     _leg_setup()
-    {"generation": leg_generation, "erosion": leg_erosion, "render": leg_render}[name]()
+    {
+        "generation": leg_generation,
+        "generation_exact": leg_generation_exact,
+        "erosion": leg_erosion,
+        "render": leg_render,
+    }[name]()
 
 
 if __name__ == "__main__":
