@@ -28,6 +28,12 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="960x540")
+    ap.add_argument(
+        "--shapes",
+        default=None,
+        help="explicit candidates, e.g. 40x96,48x96 (overrides the built-in grid; "
+        "combine with MMTPU_RENDER_DDA_UNROLL=N to probe unroll variants)",
+    )
     args = ap.parse_args()
     W, H = (int(v) for v in args.res.split("x"))
     import scenelib
@@ -40,10 +46,15 @@ def main():
         tracer.render_sample,
         static_argnames=("height", "width", "tile_rows", "tile_cols"),
     )
-    if W >= 1920:
+    if args.shapes:
+        shapes = [
+            tuple(int(v) for v in s.split("x")) for s in args.shapes.split(",")
+        ]
+    elif W >= 1920:
         shapes = [(8, 320), (4, 320), (8, 192), (8, 128), (4, 128), (16, 320), (8, 240), (4, 192)]
     else:
         shapes = [(4, None), (2, None), (8, None), (4, 120), (4, 240), (8, 120), (2, 120), (6, 160)]
+    print(f"  (dda_unroll={tracer.DDA_UNROLL})", flush=True)
     for tr, tc in shapes:
         try:
             c, a, n = render(scene, cam, params, H, W, jnp.int32(0), tile_rows=tr, tile_cols=tc)
